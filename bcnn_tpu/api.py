@@ -1,0 +1,145 @@
+"""Stateful convenience wrapper mirroring the reference's net lifecycle.
+
+The reference flow (inc/bcnn/bcnn.h):
+    bcnn_init_net -> build layers -> bcnn_compile_net ->
+    bcnn_train_on_batch / bcnn_predict_on_batch -> bcnn_save_weights
+
+Here `Session` owns the (params, state, opt_state) pytrees and the jitted
+step functions; `compile_net()` (re)builds them after graph edits, like
+bcnn_compile_net (bcnn_net.c:356-359) re-allocates the workload.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import compile as compile_mod
+from .compile import (
+    execute,
+    get_loss,
+    init_params,
+    make_eval_step,
+    make_train_step,
+    nhwc_to_nchw,
+)
+from .graph import Net
+from .types import Mode
+
+
+class Session:
+    def __init__(self, net: Net, seed: int = 0):
+        self.net = net
+        self.seed = seed
+        self.params: Dict[str, jax.Array] = {}
+        self.state: Dict[str, jax.Array] = {}
+        self.opt_state = None
+        self._train_step = None
+        self._forward_cache = {}
+        self._rng = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._step_count = 0
+
+    # -- lifecycle ------------------------------------------------------ #
+
+    def compile_net(self):
+        """bcnn_compile_net analogue: materialize params/state and reset
+        compiled functions. Keeps existing param values when shapes agree
+        (so weight loading before compile survives)."""
+        params, state = init_params(self.net, self.seed)
+        # weights staged by config.load_net(model_path=...) take precedence
+        loaded_p = getattr(self.net, "_loaded_params", None)
+        if loaded_p is not None:
+            self.params = {k: jnp.asarray(v) for k, v in loaded_p.items()}
+            self.state = {
+                k: jnp.asarray(v)
+                for k, v in getattr(self.net, "_loaded_state", {}).items()
+            }
+        for k, v in self.params.items():
+            if k in params and params[k].shape == v.shape:
+                params[k] = v
+        for k, v in self.state.items():
+            if k in state and state[k].shape == v.shape:
+                state[k] = v
+        self.params, self.state = params, state
+        if self.net.mode != Mode.PREDICT and self.net.learner is not None:
+            from .learner import init_opt_state
+
+            self.opt_state = init_opt_state(self.net, self.params)
+        self._train_step = None
+        self._forward_cache = {}
+        return self
+
+    # -- reference-style entry points ------------------------------------ #
+
+    def train_on_batch(
+        self, x: np.ndarray, label: np.ndarray
+    ) -> float:
+        """bcnn_train_on_batch (bcnn_net.c:452-463): one fwd/bwd/update;
+        returns the reported loss (metric mean, bcnn_get_loss)."""
+        if self._train_step is None:
+            self._train_step = make_train_step(self.net)
+        self._rng, sub = jax.random.split(self._rng)
+        batch = {
+            "input": jnp.asarray(x, jnp.float32),
+            "label": jnp.asarray(label, jnp.float32),
+        }
+        self.params, self.state, self.opt_state, loss = self._train_step(
+            self.params, self.state, self.opt_state, batch, sub
+        )
+        self._step_count += 1
+        return loss
+
+    def predict_on_batch(
+        self, x: np.ndarray, label: Optional[np.ndarray] = None,
+        outputs: Optional[Sequence[str]] = None,
+    ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+        """bcnn_predict_on_batch (bcnn_net.c:465-483): forward in the net's
+        current mode; returns (outputs, loss). Default output is the last
+        non-cost tensor produced (the net's out tensor)."""
+        mode = self.net.mode if self.net.mode != Mode.TRAIN else Mode.VALID
+        if outputs is None:
+            outputs = [self._default_output_name()]
+        key = (tuple(outputs), mode)
+        if key not in self._forward_cache:
+            self._forward_cache[key] = _make_predict(self.net, outputs, mode)
+        batch = {"input": jnp.asarray(x, jnp.float32)}
+        if label is not None:
+            batch["label"] = jnp.asarray(label, jnp.float32)
+        outs, loss = self._forward_cache[key](self.params, self.state, batch)
+        return outs, loss
+
+    def _default_output_name(self) -> str:
+        from .types import LayerType
+
+        for node in reversed(self.net.nodes):
+            if node.type not in (LayerType.COST,):
+                return self.net.tensors[node.dst[0]].name
+        raise ValueError("net has no non-cost nodes")
+
+    def get_tensor(self, name: str):
+        """Host copy of a param/state tensor in reference (flat NCHW blob)
+        order where applicable."""
+        t = self.net.tensor(name)
+        if t.key in self.params:
+            return np.asarray(self.params[t.key])
+        if t.key in self.state:
+            return np.asarray(self.state[t.key])
+        raise KeyError(name)
+
+
+def _make_predict(net: Net, output_names, mode: Mode):
+    out_idx = [net.get_tensor_index_by_name(n) for n in output_names]
+
+    @jax.jit
+    def predict(params, state, batch):
+        ex = execute(net, params, state, batch, mode, None)
+        outs = []
+        for i in out_idx:
+            v = ex.values[i]
+            outs.append(nhwc_to_nchw(v) if v.ndim == 4 else v)
+        return tuple(outs), get_loss(ex)
+
+    return predict

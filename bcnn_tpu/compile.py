@@ -1,0 +1,391 @@
+"""Graph executor: compiles the declarative Net into jitted JAX functions.
+
+This replaces the reference's interpreter (bcnn_forward: linear scan calling
+node->forward fn pointers, src/bcnn_net.c:410-429) with a single traced
+program per mode: the Python loop below runs once at trace time, XLA sees the
+whole graph and fuses across layer boundaries (bias+BN+activation fold into
+the conv epilogue, etc.). Autodiff of the traced program replaces every
+hand-written backward (bcnn_backward, the *_layer backward kernels).
+
+Conventions:
+  - `params`:  dict key -> array, the learned tensors (PARAM specs);
+  - `state`:   dict key -> array, BN running stats (STATE specs);
+  - `values`:  per-trace dict tensor-index -> array; activations NHWC;
+  - inputs/labels cross the API boundary in the reference's NCHW layout.
+
+In-place reference ops (activation/dropout write their src,
+bcnn_activation_layer.c:158) are modeled by rebinding *both* src and dst
+indices to the new value, preserving the "same name before/after" semantics
+configs rely on.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import ops
+from .graph import Net, Node, TensorKind
+from .ops.losses import compute_metric, euclidean_surrogate
+from .types import Activation, LayerType, Loss, Mode
+
+
+def nchw_to_nhwc(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def init_params(
+    net: Net, seed: int = 0
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Create (params, state) pytrees from the tensor specs' fillers.
+    Mirrors the builders' bcnn_tensor_fill calls; unfilled tensors are
+    zeros (calloc semantics, bh_align_calloc)."""
+    key = jax.random.PRNGKey(seed)
+    params: Dict[str, jax.Array] = {}
+    state: Dict[str, jax.Array] = {}
+    for i, t in enumerate(net.tensors):
+        if t.kind == TensorKind.PARAM:
+            if t.filler is not None:
+                params[t.key] = t.filler(
+                    jax.random.fold_in(key, i), t.mem_shape
+                )
+            else:
+                params[t.key] = jnp.zeros(t.mem_shape, jnp.float32)
+        elif t.kind == TensorKind.STATE:
+            state[t.key] = jnp.zeros(t.mem_shape, jnp.float32)
+    return params, state
+
+
+def _flatten_nchw(x: jax.Array) -> jax.Array:
+    """NHWC activation -> (N, c*h*w) flat in the reference's NCHW order."""
+    if x.ndim == 4:
+        x = nhwc_to_nchw(x)
+    return x.reshape(x.shape[0], -1)
+
+
+class _Executor:
+    """One traced pass over the graph."""
+
+    def __init__(
+        self,
+        net: Net,
+        params: Dict[str, jax.Array],
+        state: Dict[str, jax.Array],
+        mode: Mode,
+        rng: Optional[jax.Array],
+    ):
+        self.net = net
+        self.params = params
+        self.state = dict(state)
+        self.mode = mode
+        self.rng = rng
+        self.values: Dict[int, jax.Array] = {}
+        self.surrogate = jnp.zeros((), jnp.float32)
+        self.metrics = []  # per cost node reported value
+        self.compute_dtype = getattr(net, "compute_dtype", None)
+
+    def key_of(self, idx: int) -> str:
+        return self.net.tensors[idx].key
+
+    def p(self, idx: int) -> jax.Array:
+        return self.params[self.key_of(idx)]
+
+    def run(self):
+        for i, node in enumerate(self.net.nodes):
+            rng = (
+                jax.random.fold_in(self.rng, i) if self.rng is not None else None
+            )
+            getattr(self, f"_{node.type.name.lower()}")(node, rng)
+        return self
+
+    # ------------------------------------------------------------------ #
+
+    def _apply_conv_epilogue(self, node: Node, y, rng, bias_idx, extra):
+        """Shared bias/BN/activation tail used by conv-like layers.
+        `extra` maps roles to src positions."""
+        p = node.param
+        training = self.mode == Mode.TRAIN
+        if p.get("batch_norm"):
+            mean_k = self.key_of(node.src[extra["mean"]])
+            var_k = self.key_of(node.src[extra["var"]])
+            scales = self.p(node.src[extra["scales"]])
+            biases = self.p(bias_idx)
+            y, nm, nv = ops.batch_norm(
+                y,
+                scales,
+                biases,
+                self.state[mean_k],
+                self.state[var_k],
+                training=training,
+                folded=self.net.bn_folded and self.mode == Mode.PREDICT,
+            )
+            if training:
+                self.state[mean_k] = nm
+                self.state[var_k] = nv
+        else:
+            y = y + self.p(bias_idx)
+        act = p["activation"]
+        slopes = None
+        if act == Activation.PRELU:
+            slopes = self.p(node.src[extra["slopes"]])
+        y = ops.apply_activation(y, act, slopes)
+        return y
+
+    def _conv2d(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        w = self.p(node.src[1])
+        y = ops.conv2d(
+            x,
+            w,
+            p["stride"],
+            p["pad"],
+            p["num_groups"],
+            self.compute_dtype,
+        )
+        extra = {"mean": 3, "var": 4, "scales": 5}
+        extra["slopes"] = 6 if p.get("batch_norm") else 3
+        y = self._apply_conv_epilogue(node, y, rng, node.src[2], extra)
+        self.values[node.dst[0]] = y
+
+    def _depthwise_conv2d(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        w = self.p(node.src[1])
+        y = ops.depthwise_conv2d(
+            x, w, p["stride"], p["pad"], self.compute_dtype
+        )
+        # depthwise builder supports bias + activation (BN flag parsed but the
+        # reference wires no BN tensors for it)
+        y = y + self.p(node.src[2])
+        y = ops.apply_activation(y, p["activation"])
+        self.values[node.dst[0]] = y
+
+    def _transpose_conv2d(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        w = self.p(node.src[1])
+        y = ops.conv2d_transpose(
+            x, w, p["stride"], p["pad"], self.compute_dtype
+        )
+        y = y + self.p(node.src[2])
+        y = ops.apply_activation(y, p["activation"])
+        self.values[node.dst[0]] = y
+
+    def _full_connected(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        y = ops.full_connected(
+            x, self.p(node.src[1]), self.p(node.src[2]), self.compute_dtype
+        )
+        y = ops.apply_activation(y, p["activation"])
+        self.values[node.dst[0]] = y
+
+    def _activation(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        slopes = None
+        if p["activation"] == Activation.PRELU:
+            slopes = self.p(node.src[1])
+        # dst index == src index (in-place layer), single rebind suffices
+        self.values[node.dst[0]] = ops.apply_activation(
+            x, p["activation"], slopes
+        )
+
+    def _batchnorm(self, node: Node, rng):
+        x = self.values[node.src[0]]
+        mean_k = self.key_of(node.src[1])
+        var_k = self.key_of(node.src[2])
+        training = self.mode == Mode.TRAIN
+        y, nm, nv = ops.batch_norm(
+            x,
+            self.p(node.src[3]),
+            self.p(node.src[4]),
+            self.state[mean_k],
+            self.state[var_k],
+            training=training,
+            folded=self.net.bn_folded and self.mode == Mode.PREDICT,
+        )
+        if training:
+            self.state[mean_k] = nm
+            self.state[var_k] = nv
+        self.values[node.dst[0]] = y
+
+    def _lrn(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        self.values[node.dst[0]] = ops.lrn(
+            x, p["local_size"], p["alpha"], p["beta"], p["k"]
+        )
+
+    def _maxpool(self, node: Node, rng):
+        p = node.param
+        d = self.net.tensors[node.dst[0]]
+        self.values[node.dst[0]] = ops.maxpool(
+            self.values[node.src[0]], p["size"], p["stride"], d.h, d.w
+        )
+
+    def _avgpool(self, node: Node, rng):
+        self.values[node.dst[0]] = ops.global_avgpool(
+            self.values[node.src[0]]
+        )
+
+    def _softmax(self, node: Node, rng):
+        self.values[node.dst[0]] = ops.softmax_passthrough_grad(
+            self.values[node.src[0]]
+        )
+
+    def _dropout(self, node: Node, rng):
+        p = node.param
+        x = self.values[node.src[0]]
+        self.values[node.dst[0]] = ops.dropout(
+            x, p["rate"], p["scale"], rng, self.mode == Mode.TRAIN
+        )
+
+    def _concat(self, node: Node, rng):
+        self.values[node.dst[0]] = ops.concat_channels(
+            [self.values[i] for i in node.src]
+        )
+
+    def _eltwise(self, node: Node, rng):
+        p = node.param
+        y = ops.eltwise_add(
+            self.values[node.src[0]],
+            self.values[node.src[1]],
+            p["stride"],
+            p["min_dim"],
+        )
+        y = ops.apply_activation(y, p["activation"])
+        self.values[node.dst[0]] = y
+
+    def _upsample(self, node: Node, rng):
+        self.values[node.dst[0]] = ops.upsample_nn(
+            self.values[node.src[0]], node.param["size"]
+        )
+
+    def _yolov3(self, node: Node, rng):
+        from .ops import yolo as yolo_ops
+
+        p = node.param
+        x = self.values[node.src[0]]
+        label = self.values.get(1)
+        y, surrogate = yolo_ops.yolo_forward(
+            x, label, p, self.mode, self.net.batch_size
+        )
+        self.values[node.dst[0]] = y
+        if surrogate is not None:
+            self.surrogate = self.surrogate + surrogate[0]
+            self.metrics.append(surrogate[1])
+
+    def _reshape(self, node: Node, rng):
+        raise NotImplementedError(
+            "RESHAPE has no implementation in the reference either "
+            "(enum only, bcnn.h:157)"
+        )
+
+    def _cost(self, node: Node, rng):
+        p = node.param
+        x = _flatten_nchw(self.values[node.src[0]])
+        label = self.values.get(1)
+        if label is None:
+            return  # no ground truth fed: forward-only, like :248-251
+        label = label.reshape(label.shape[0], -1)
+        if p["loss"] == Loss.EUCLIDEAN:
+            self.surrogate = self.surrogate + euclidean_surrogate(
+                x, label, p["scale"]
+            )
+        elif p["loss"] == Loss.LIFTED_STRUCT:
+            from .ops.lifted_struct import lifted_struct_surrogate
+
+            self.surrogate = self.surrogate + lifted_struct_surrogate(
+                x, label, p["scale"]
+            )
+        if self.mode != Mode.PREDICT:
+            self.metrics.append(compute_metric(x, label, p["loss_metric"]))
+
+
+def execute(
+    net: Net,
+    params: Dict[str, jax.Array],
+    state: Dict[str, jax.Array],
+    inputs: Dict[str, jax.Array],
+    mode: Mode,
+    rng: Optional[jax.Array] = None,
+) -> _Executor:
+    """inputs: name -> NCHW array ('input' required, 'label' optional)."""
+    ex = _Executor(net, params, state, mode, rng)
+    for name, arr in inputs.items():
+        idx = 1 if name == "label" else net.get_tensor_index_by_name(name)
+        if name != "label" and idx > 1:
+            # extra named inputs keep reference layout semantics
+            pass
+        if name == "input":
+            idx = 0
+        if arr.ndim == 4 and name != "label":
+            arr = nchw_to_nhwc(arr)
+        ex.values[idx] = arr
+    return ex.run()
+
+
+def get_loss(ex: _Executor) -> jax.Array:
+    """bcnn_get_loss (bcnn_net.c:431-450): mean of cost/yolo node outputs."""
+    if not ex.metrics:
+        return jnp.zeros((), jnp.float32)
+    return sum(ex.metrics) / len(ex.metrics)
+
+
+def make_forward(net: Net, output_names, mode: Mode):
+    """Jitted forward returning the requested tensors in NCHW layout."""
+    out_idx = [net.get_tensor_index_by_name(n) for n in output_names]
+
+    @jax.jit
+    def forward(params, state, inputs, rng=None):
+        ex = execute(net, params, state, inputs, mode, rng)
+        outs = []
+        for i in out_idx:
+            v = ex.values[i]
+            outs.append(nhwc_to_nchw(v) if v.ndim == 4 else v)
+        return tuple(outs), ex.state
+
+    return forward
+
+
+def make_train_step(net: Net):
+    """One bcnn_train_on_batch equivalent (bcnn_net.c:452-463):
+    forward -> backward (autodiff) -> update -> loss, as a single jitted,
+    buffer-donating program."""
+    from .learner import apply_updates
+
+    def loss_fn(params, state, batch, rng):
+        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
+        return ex.surrogate, (ex.state, get_loss(ex))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, state, opt_state, batch, rng):
+        (_, (new_state, loss)), grads = grad_fn(params, state, batch, rng)
+        new_params, new_opt = apply_updates(net, params, grads, opt_state)
+        return new_params, new_state, new_opt, loss
+
+    return train_step
+
+
+def make_eval_step(net: Net):
+    """bcnn_predict_on_batch in VALID mode: forward + metric, no state
+    mutation (running stats untouched outside TRAIN)."""
+
+    def eval_step(params, state, batch):
+        ex = execute(net, params, state, batch, Mode.VALID, None)
+        # also return the last non-cost activation (the net output), like
+        # bcnn_predict_on_batch returns the out tensor
+        return get_loss(ex)
+
+    return jax.jit(eval_step)

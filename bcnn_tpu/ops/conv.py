@@ -1,0 +1,97 @@
+"""Convolution ops on the MXU.
+
+The reference implements conv as im2col + blocked SGEMM (AVX/NEON,
+src/kernels/bcnn_mat.c:2164-2650) plus a Winograd F(2x2,3x3) NC4HW4 fast path
+(bcnn_mat.c:1367-2155). On TPU both collapse into a single
+`lax.conv_general_dilated`: XLA lowers it to implicit GEMM on the 128x128
+systolic array and fuses the bias/BN/activation post-ops, so no hand-written
+kernel is needed for the conv itself.
+
+Layouts: activations NHWC, weights HWIO. Grouped conv via
+feature_group_count (reference: per-group GEMM loop,
+bcnn_conv_layer.c:438-467). Output shape (h + 2p - k)/s + 1 matches the
+builder (bcnn_conv_layer.c:126-135) because lax uses
+floor((h + pl + ph - k)/s) + 1 with pl = ph = p.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers(
+    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+)
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int,
+    pad: int,
+    groups: int = 1,
+    compute_dtype=None,
+) -> jax.Array:
+    """x: (N,H,W,C), w: (k,k,C//groups,O) -> (N,H',W',O), fp32 accumulation."""
+    precision = lax.Precision.HIGHEST
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = lax.Precision.DEFAULT
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def depthwise_conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int,
+    pad: int,
+    compute_dtype=None,
+) -> jax.Array:
+    """Depthwise conv (bcnn_depthwise_conv_layer.c:165-294): one filter per
+    input channel. w: (k,k,1,C), feature_group_count == C."""
+    return conv2d(
+        x, w, stride, pad, groups=x.shape[-1], compute_dtype=compute_dtype
+    )
+
+
+def conv2d_transpose(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int,
+    pad: int,
+    compute_dtype=None,
+) -> jax.Array:
+    """Transpose conv matching the reference deconv
+    (bcnn_deconv_layer.c:149-180: GEMM(transA) + col2im).
+
+    Output spatial: s*(h-1) + k - 2p. Implemented as the exact transpose
+    (gradient) of a forward conv with the same stride/padding.
+    w: (k,k,Cout,Cin) — the HWIO weight of the forward conv being transposed,
+    so I == deconv output channels, O == deconv input channels.
+    """
+    precision = lax.Precision.HIGHEST
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        precision = lax.Precision.DEFAULT
+    return lax.conv_transpose(
+        x,
+        w,
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )

@@ -1,0 +1,209 @@
+"""Unit tests for kernels vs. reference math (SURVEY.md §4: conv fwd vs
+direct computation, maxpool border semantics, BN train/predict, activations,
+the softmax pass-through gradient quirk, eltwise stride broadcast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bcnn_tpu import ops
+from bcnn_tpu.types import Activation
+
+
+def direct_conv_nchw(x, w, stride, pad, groups=1):
+    """Straightforward NCHW conv like the reference's im2col+GEMM result."""
+    n, c, h, wd = x.shape
+    o, cpg, k, _ = w.shape
+    oh = (h + 2 * pad - k) // stride + 1
+    ow = (wd + 2 * pad - k) // stride + 1
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    out = np.zeros((n, o, oh, ow), np.float32)
+    opg = o // groups
+    for b in range(n):
+        for oc in range(o):
+            g = oc // opg
+            for i in range(oh):
+                for j in range(ow):
+                    patch = xp[
+                        b,
+                        g * cpg : (g + 1) * cpg,
+                        i * stride : i * stride + k,
+                        j * stride : j * stride + k,
+                    ]
+                    out[b, oc, i, j] = np.sum(patch * w[oc])
+    return out
+
+
+@pytest.mark.parametrize(
+    "shape,k,stride,pad,groups",
+    [
+        ((2, 3, 8, 8), 3, 1, 1, 1),
+        ((1, 4, 7, 7), 3, 2, 1, 1),
+        ((2, 4, 8, 8), 1, 1, 0, 1),
+        ((1, 4, 6, 6), 3, 1, 1, 2),
+        ((1, 2, 5, 5), 5, 1, 2, 1),
+    ],
+)
+def test_conv2d_matches_direct(shape, k, stride, pad, groups):
+    rng = np.random.RandomState(0)
+    n, c, h, w = shape
+    o = 6 if 6 % groups == 0 else groups
+    x = rng.randn(*shape).astype(np.float32)
+    wt = rng.randn(o, c // groups, k, k).astype(np.float32)
+    ref = direct_conv_nchw(x, wt, stride, pad, groups)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    w_hwio = jnp.asarray(wt.transpose(2, 3, 1, 0))
+    out = ops.conv2d(x_nhwc, w_hwio, stride, pad, groups)
+    out_nchw = np.asarray(out.transpose(0, 3, 1, 2))
+    np.testing.assert_allclose(out_nchw, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_conv_matches_grouped():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4, 6, 6).astype(np.float32)
+    wt = rng.randn(4, 1, 3, 3).astype(np.float32)  # per-channel filters
+    ref = direct_conv_nchw(x, wt, 1, 1, groups=4)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    w_hwio = jnp.asarray(wt.transpose(2, 3, 1, 0))  # (3,3,1,4)
+    out = ops.depthwise_conv2d(x_nhwc, w_hwio, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(out.transpose(0, 3, 1, 2)), ref, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_conv_transpose_shape_and_adjointness():
+    """Deconv output: s*(h-1)+k-2p (bcnn_deconv_layer.c:97-101); as the
+    transpose of conv, <conv(x), y> == <x, deconv(y)>."""
+    rng = np.random.RandomState(2)
+    k, s, p = 3, 2, 1
+    x = jnp.asarray(rng.randn(1, 5, 5, 4).astype(np.float32))  # deconv input
+    # w is the HWIO kernel of the *forward* conv being transposed:
+    # I = deconv output channels (2), O = deconv input channels (4)
+    w = jnp.asarray(rng.randn(k, k, 2, 4).astype(np.float32))
+    # Forward conv maps (N,9,9,2)->(N,5,5,4); deconv transposes it,
+    # mapping 5 -> 2*(5-1)+3-2*1 = 9.
+    y = ops.conv2d_transpose(x, w, s, p)
+    assert y.shape == (1, 9, 9, 2)
+    z = jnp.asarray(rng.randn(1, 9, 9, 2).astype(np.float32))
+    conv_z = ops.conv2d(z, w, s, p)
+    lhs = jnp.sum(conv_z * x)
+    rhs = jnp.sum(z * y)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_maxpool_border_semantics():
+    """SAME 2x2/s2 on odd size: last window reads -inf outside, so output
+    equals max of the in-range elements (bcnn_maxpool_layer.c:163-183)."""
+    x = jnp.arange(25, dtype=jnp.float32).reshape(1, 5, 5, 1)
+    out = ops.maxpool(x, 2, 2, 3, 3)  # SAME: (5+1)//2 = 3
+    assert out.shape == (1, 3, 3, 1)
+    expect = np.array(
+        [[6, 8, 9], [16, 18, 19], [21, 23, 24]], np.float32
+    ).reshape(1, 3, 3, 1)
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_maxpool_stride1_same():
+    """yolov3-tiny uses k2/s1 SAME maxpool: output size == input size."""
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 4, 4, 2), jnp.float32)
+    out = ops.maxpool(x, 2, 1, 4, 4)
+    assert out.shape == (1, 4, 4, 2)
+    np.testing.assert_allclose(
+        float(out[0, 3, 3, 0]), float(x[0, 3, 3, 0])
+    )  # bottom-right window sees only itself
+
+
+def test_batch_norm_train_stats_and_running_update():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 3, 3, 2), jnp.float32)
+    scales = jnp.ones(2)
+    biases = jnp.zeros(2)
+    rm = jnp.zeros(2)
+    rv = jnp.zeros(2)
+    y, nm, nv = ops.batch_norm(x, scales, biases, rm, rv, training=True)
+    np.testing.assert_allclose(np.asarray(jnp.mean(y, (0, 1, 2))), 0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.std(y, (0, 1, 2))), 1, atol=1e-3)
+    # running update: 0.9*0 + 0.1*batch
+    np.testing.assert_allclose(
+        np.asarray(nm), 0.1 * np.asarray(jnp.mean(x, (0, 1, 2))), rtol=1e-5
+    )
+    # biased variance
+    np.testing.assert_allclose(
+        np.asarray(nv),
+        0.1 * np.asarray(jnp.var(x, (0, 1, 2))),
+        rtol=1e-4,
+    )
+
+
+def test_batch_norm_folded_predict():
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 3, 3, 2), jnp.float32)
+    s = jnp.asarray([2.0, 0.5])
+    b = jnp.asarray([1.0, -1.0])
+    y, _, _ = ops.batch_norm(
+        x, s, b, jnp.zeros(2), jnp.ones(2), training=False, folded=True
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x * s + b), rtol=1e-6)
+
+
+def test_activations_match_reference_formulas():
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_activation(x, Activation.LRELU)),
+        [-0.2, -0.05, 0.0, 0.5, 2.0],
+        rtol=1e-6,
+    )  # slope 0.1, the implementation's value
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_activation(x, Activation.RAMP)),
+        np.asarray(x * (x > 0) + 0.1 * x),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_activation(x, Activation.CLAMP)),
+        [0.0, 0.0, 0.0, 0.5, 1.0],
+    )
+    slopes = jnp.asarray([0.25])
+    np.testing.assert_allclose(
+        np.asarray(
+            ops.apply_activation(
+                x.reshape(1, 1, 5, 1), Activation.PRELU, slopes
+            )
+        ).ravel(),
+        [-0.5, -0.125, 0.0, 0.5, 2.0],
+    )
+
+
+def test_softmax_passthrough_grad():
+    """Reference softmax backward copies the gradient unchanged
+    (bcnn_softmax_layer.c:161-175)."""
+    x = jnp.asarray(np.random.RandomState(6).randn(2, 1, 1, 5), jnp.float32)
+    y = ops.softmax_passthrough_grad(x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(y, -1)), np.ones((2, 1, 1)), rtol=1e-6
+    )
+    g = jax.grad(lambda x: jnp.sum(ops.softmax_passthrough_grad(x) * 3.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 3.0 * np.ones_like(g))
+
+
+def test_eltwise_stride_broadcast():
+    """dst[b,c,j*s0,i*s0] += src1[b,c,j*s1,i*s1] (bcnn_mat.c:159-178)."""
+    x0 = jnp.zeros((2, 4, 4, 2))
+    x1 = jnp.ones((2, 2, 2, 2))
+    out = ops.eltwise_add(x0, x1, stride=(2, 1), min_dim=(2, 2, 2))
+    out = np.asarray(out)
+    assert out[0, 0, 0, 0] == 1.0 and out[0, 2, 2, 1] == 1.0
+    assert out[0, 1, 1, 0] == 0.0
+    assert out.sum() == 2 * 4 * 2  # batch handled (unlike the ref fast path)
+
+
+def test_upsample_and_lrn_shapes():
+    x = jnp.asarray(np.random.RandomState(7).randn(1, 3, 3, 2), jnp.float32)
+    up = ops.upsample_nn(x, 2)
+    assert up.shape == (1, 6, 6, 2)
+    np.testing.assert_allclose(np.asarray(up[0, 0, 0]), np.asarray(up[0, 1, 1]))
+    y = ops.lrn(x, local_size=3, alpha=1e-4, beta=0.75, k=2.0)
+    assert y.shape == x.shape
+    # k=2, tiny alpha -> y ~ x * 2^-0.75
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x) * 2.0 ** -0.75, rtol=1e-3
+    )

@@ -1,0 +1,110 @@
+"""End-to-end training: a LeNet-style net (the mnist example's architecture,
+examples/mnist/mnist_example.c:30-55) must fit a small synthetic problem."""
+
+import jax
+import numpy as np
+
+from bcnn_tpu import (
+    Activation,
+    FillerType,
+    Loss,
+    Metric,
+    Mode,
+    Net,
+    Padding,
+    Session,
+)
+
+
+def lenet(batch=16, size=12, classes=4):
+    net = Net(Mode.TRAIN)
+    net.set_input_shape(size, size, 1, batch)
+    net.set_sgd_optimizer(learning_rate=0.05, momentum=0.9)
+    net.set_weight_regularizer(0.0005)
+    net.add_convolutional_layer(
+        8, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.RELU, 0, "input", "c1"
+    )
+    net.add_maxpool_layer(2, 2, Padding.SAME, "c1", "p1")
+    net.add_convolutional_layer(
+        16, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.RELU, 0, "p1", "c2"
+    )
+    net.add_maxpool_layer(2, 2, Padding.SAME, "c2", "p2")
+    net.add_fullc_layer(32, FillerType.XAVIER, Activation.RELU, 0, "p2", "f1")
+    net.add_fullc_layer(
+        classes, FillerType.XAVIER, Activation.NONE, 0, "f1", "f2"
+    )
+    net.add_softmax_layer("f2", "s")
+    net.add_cost_layer(Loss.EUCLIDEAN, Metric.ERROR_RATE, 1.0, "s")
+    return net
+
+
+def synthetic_batch(rng, batch, size, classes):
+    """Each class is a distinct bright quadrant + noise."""
+    labels = rng.randint(0, classes, batch)
+    x = rng.randn(batch, 1, size, size).astype(np.float32) * 0.1
+    h = size // 2
+    for i, c in enumerate(labels):
+        r, col = divmod(c, 2)
+        x[i, 0, r * h : (r + 1) * h, col * h : (col + 1) * h] += 1.0
+    y = np.zeros((batch, classes, 1, 1), np.float32)
+    y[np.arange(batch), labels] = 1.0
+    return x, y
+
+
+def test_train_on_batch_learns():
+    batch, size, classes = 16, 12, 4
+    net = lenet(batch, size, classes)
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(0)
+
+    first_err = None
+    for step in range(60):
+        x, y = synthetic_batch(rng, batch, size, classes)
+        err = float(sess.train_on_batch(x, y))
+        if first_err is None:
+            first_err = err
+    # evaluate
+    net.set_mode(Mode.VALID)
+    x, y = synthetic_batch(rng, batch, size, classes)
+    outs, loss = sess.predict_on_batch(x, y)
+    final_err = float(loss)
+    assert final_err <= 1, f"err {first_err} -> {final_err}, not learning"
+    probs = np.asarray(outs[0]).reshape(batch, classes)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+
+
+def test_running_stats_update_only_in_train():
+    net = lenet()
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(1)
+    x, y = synthetic_batch(rng, 16, 12, 4)
+    state_keys = list(sess.state)
+    assert any("run_mean" in k for k in state_keys)
+    before = {k: np.asarray(v).copy() for k, v in sess.state.items()}
+    sess.train_on_batch(x, y)
+    after_train = {k: np.asarray(v) for k, v in sess.state.items()}
+    changed = any(
+        not np.array_equal(before[k], after_train[k]) for k in state_keys
+    )
+    assert changed, "running stats must move in TRAIN"
+    net.set_mode(Mode.VALID)
+    sess.predict_on_batch(x, y)
+    after_valid = {k: np.asarray(v) for k, v in sess.state.items()}
+    for k in state_keys:
+        np.testing.assert_array_equal(after_train[k], after_valid[k])
+
+
+def test_dropout_only_in_train():
+    net = Net(Mode.TRAIN)
+    net.set_input_shape(8, 8, 2, 4)
+    net.set_sgd_optimizer(0.01, 0.9)
+    net.add_convolutional_layer(
+        4, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.NONE, 0, "input", "c"
+    )
+    net.add_dropout_layer(0.5, "c")
+    sess = Session(net, seed=0).compile_net()
+    x = np.random.RandomState(2).randn(4, 2, 8, 8).astype(np.float32)
+    net.set_mode(Mode.VALID)
+    (out1,), _ = sess.predict_on_batch(x, outputs=["c"])
+    (out2,), _ = sess.predict_on_batch(x, outputs=["c"])
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
