@@ -119,6 +119,47 @@ class Session:
                 return self.net.tensors[node.dst[0]].name
         raise ValueError("net has no non-cost nodes")
 
+    def yolo_get_detections(
+        self,
+        x: np.ndarray,
+        w: int,
+        h: int,
+        netw: int,
+        neth: int,
+        thresh: float,
+        relative: int = 1,
+        batch_item: int = 0,
+    ):
+        """bcnn_yolo_get_detections (bcnn_yolo.c:548-643): forward, collect
+        boxes over all yolo nodes above `thresh`, letterbox-correct, NMS.
+        Returns a list of dicts (x,y,w,h,objectness,prob array) — suppressed
+        boxes keep their slot with objectness 0, like the reference."""
+        from .ops import yolo as yolo_ops
+        from .types import LayerType
+
+        yolo_nodes = [
+            n for n in self.net.nodes if n.type == LayerType.YOLOV3
+        ]
+        if not yolo_nodes:
+            return []
+        names = [self.net.tensors[n.dst[0]].name for n in yolo_nodes]
+        outs, _ = self.predict_on_batch(x, outputs=names)
+        dets = []
+        for node, out in zip(yolo_nodes, outs):
+            arr = np.asarray(out)[batch_item]  # NCHW -> (C,H,W)
+            arr = np.transpose(arr, (1, 2, 0))  # (H,W,C)
+            p = dict(node.param)
+            dets += yolo_ops.decode_layer(
+                arr, p, self.net.tensors[0].w, self.net.tensors[0].h, thresh
+            )
+        if not dets:
+            return []
+        for d in dets:
+            d["x"], d["y"], d["w"], d["h"] = yolo_ops.correct_region_boxes(
+                d["x"], d["y"], d["w"], d["h"], w, h, netw, neth, relative
+            )
+        return yolo_ops.nms_obj(dets)
+
     def get_tensor(self, name: str):
         """Host copy of a param/state tensor in reference (flat NCHW blob)
         order where applicable."""

@@ -273,7 +273,9 @@ class _Executor:
     def _yolov3(self, node: Node, rng):
         from .ops import yolo as yolo_ops
 
-        p = node.param
+        p = dict(node.param)
+        p["net_w"] = self.net.tensors[0].w
+        p["net_h"] = self.net.tensors[0].h
         x = self.values[node.src[0]]
         label = self.values.get(1)
         y, surrogate = yolo_ops.yolo_forward(

@@ -132,6 +132,9 @@ class Net:
         # True once BN constants were folded into scales/biases at weight
         # load in PREDICT mode (bcnn_net.c:1281-1292 semantics)
         self.bn_folded = False
+        # bf16 MXU compute with fp32 accumulation when set (perf path);
+        # None = full fp32 (parity path)
+        self.compute_dtype = None
         self._used_keys: set = set()
         # data augmentation config (bcnn_data.h:53-94), set via setters
         self.data_aug: Dict[str, Any] = {}

@@ -1,0 +1,351 @@
+"""YOLOv3 detection head: forward, training deltas, decode and NMS.
+
+Mirrors src/layers/bcnn_yolo.c:
+  - forward (:226-249): logistic on (tx,ty) and (obj + class) slices, raw
+    tw/th. Channel layout per anchor a and entry e is c = a*(5+K) + e
+    (entry_index :207-215), which on the NHWC channel axis reshapes to
+    (..., A, 5+K) directly.
+  - training (:250-414): hand-crafted deltas written into the *activated*
+    output and copied verbatim to the pre-activation gradient by backward
+    (:441-447) — the darknet "BCE-through-sigmoid" trick. Reproduced with
+    a surrogate sum(stop_grad(delta) * x) whose autodiff gradient w.r.t.
+    x is exactly delta. Reported cost = sum(delta^2) (:404-407).
+      * noobj: delta_obj = sigmoid_obj, zeroed where best IoU vs any truth
+        > 0.5 (:305-312);
+      * for each truth (in order, later overwrites earlier): best anchor by
+        shape-only IoU over all `total` anchors; if owned by this layer's
+        mask, write box deltas with scale (2 - tw*th), obj delta
+        (sigmoid_obj - 1), class deltas (out - onehot) (:321-398);
+      * truths terminate at the first x == 0 (:286-289).
+  - decode (get_yolo_box :137-145): bx=(i+sx)/W, by=(j+sy)/H,
+    bw=exp(tw)*anchor_w/net_w, bh=exp(th)*anchor_h/net_h.
+  - letterbox correction (correct_region_boxes :470-496) and
+    objectness-sorted greedy NMS at IoU 0.45 (do_nms_obj :511-545).
+
+The decode + NMS also exist as a fully batched on-device path (top-K +
+O(K^2) mask matrix) so inference never serializes on the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import DETECTION_MAX_BOXES, Mode
+
+NMS_THRESH = 0.45  # bcnn_yolo.c:626
+NOOBJ_IOU_THRESH = 0.5  # :310 ("thresh set to default 0.7" comment, 0.5 used)
+
+
+def yolo_head(x: jax.Array, num: int, classes: int) -> jax.Array:
+    """x: (N,H,W,A*(5+K)) raw conv output -> activated head output."""
+    n, h, w, _ = x.shape
+    e = 5 + classes
+    x = x.reshape(n, h, w, num, e)
+    xy = jax.nn.sigmoid(x[..., 0:2])
+    twh = x[..., 2:4]
+    objcls = jax.nn.sigmoid(x[..., 4:])
+    return jnp.concatenate([xy, twh, objcls], axis=-1).reshape(
+        n, h, w, num * e
+    )
+
+
+def _box_iou(b1, b2):
+    """IoU of boxes in (x,y,w,h) center format; broadcasting.
+    Matches box_iou (bcnn_yolo.c:108-135): intersection/union with
+    union = a+b-i (0/0 -> nan avoided via where)."""
+    x1, y1, w1, h1 = b1
+    x2, y2, w2, h2 = b2
+    iw = jnp.minimum(x1 + w1 / 2, x2 + w2 / 2) - jnp.maximum(
+        x1 - w1 / 2, x2 - w2 / 2
+    )
+    ih = jnp.minimum(y1 + h1 / 2, y2 + h2 / 2) - jnp.maximum(
+        y1 - h1 / 2, y2 - h2 / 2
+    )
+    inter = jnp.where((iw < 0) | (ih < 0), 0.0, iw * ih)
+    union = w1 * h1 + w2 * h2 - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def _decode_grid(y, anchors_wh, mask, net_w, net_h):
+    """y: (N,H,W,A,5+K) activated -> boxes (x,y,w,h) each (N,H,W,A)."""
+    n, h, w, a, _ = y.shape
+    col = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, a), 2)
+    row = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, a), 1)
+    aw = jnp.asarray([anchors_wh[2 * m] for m in mask], jnp.float32)
+    ah = jnp.asarray([anchors_wh[2 * m + 1] for m in mask], jnp.float32)
+    bx = (col + y[..., 0]) / w
+    by = (row + y[..., 1]) / h
+    bw = jnp.exp(y[..., 2]) * aw / net_w
+    bh = jnp.exp(y[..., 3]) * ah / net_h
+    return bx, by, bw, bh
+
+
+def yolo_train_deltas(
+    y: jax.Array,
+    label: jax.Array,
+    param: Dict,
+    net_w: int,
+    net_h: int,
+) -> jax.Array:
+    """y: (N,H,W,A*(5+K)) activated head output; label (N, 50*5) flat
+    [x,y,w,h,class] per truth. Returns delta with dL/d(pre-activation) ==
+    delta semantics (reference writes it into dst grad and backward copies
+    to src grad)."""
+    num, classes = param["num"], param["classes"]
+    anchors = param["anchors"]
+    mask = param["mask"]
+    total = param["total"]
+    e = 5 + classes
+    n, h, w, _ = y.shape
+    yr = y.reshape(n, h, w, num, e)
+    label = label.reshape(n, DETECTION_MAX_BOXES, 5)
+
+    # truth validity: stop at first x == 0 (reference `break`)
+    tx = label[..., 0]
+    valid = jnp.cumprod((tx != 0).astype(jnp.float32), axis=1)  # (N,50)
+
+    # ---- noobj deltas -------------------------------------------------- #
+    bx, by, bw, bh = _decode_grid(yr, anchors, mask, net_w, net_h)
+    # IoU of each pred vs each truth: (N,H,W,A,50)
+    p = (
+        bx[..., None],
+        by[..., None],
+        bw[..., None],
+        bh[..., None],
+    )
+    tb = tuple(
+        label[:, None, None, None, :, i] for i in range(4)
+    )  # each (N,1,1,1,50)
+    ious = _box_iou(p, tb) * valid[:, None, None, None, :]
+    best_iou = jnp.max(ious, axis=-1)  # (N,H,W,A)
+    obj = yr[..., 4]
+    delta_obj = jnp.where(best_iou > NOOBJ_IOU_THRESH, 0.0, obj)
+
+    delta = jnp.zeros_like(yr)
+    delta = delta.at[..., 4].set(delta_obj)
+
+    # ---- per-truth assignment (ordered overwrite, fori_loop) ----------- #
+    anchors_arr = jnp.asarray(anchors, jnp.float32).reshape(total, 2)
+    mask_arr = jnp.asarray(mask, jnp.int32)
+
+    def body(t, delta):
+        tb = label[:, t, :]  # (N,5)
+        v = valid[:, t] > 0  # (N,)
+        txx, tyy, tww, thh = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
+        tcls = tb[:, 4].astype(jnp.int32)
+        # best anchor by shape-only IoU (truth shifted to origin)
+        pw = anchors_arr[:, 0] / net_w  # (total,)
+        ph = anchors_arr[:, 1] / net_h
+        iou_a = _box_iou(
+            (jnp.zeros((1, total)), jnp.zeros((1, total)), pw[None], ph[None]),
+            (
+                jnp.zeros((n, 1)),
+                jnp.zeros((n, 1)),
+                tww[:, None],
+                thh[:, None],
+            ),
+        )  # (N,total)
+        best_n = jnp.argmax(iou_a, axis=1)  # (N,)
+        # mask_n: position of best_n in this layer's mask, or -1
+        eq = mask_arr[None, :] == best_n[:, None]  # (N,A)
+        owned = jnp.any(eq, axis=1) & v
+        mask_n = jnp.argmax(eq, axis=1)  # first match
+        ci = jnp.clip((txx * w).astype(jnp.int32), 0, w - 1)
+        cj = jnp.clip((tyy * h).astype(jnp.int32), 0, h - 1)
+
+        # gather current prediction at (b, cj, ci, mask_n)
+        bidx = jnp.arange(n)
+        cur = yr[bidx, cj, ci, mask_n]  # (N, 5+K)
+        aw = anchors_arr[best_n, 0]
+        ah = anchors_arr[best_n, 1]
+        scale = 2.0 - tww * thh
+        dx = -scale * ((txx * w - ci) - cur[:, 0])
+        dy = -scale * ((tyy * h - cj) - cur[:, 1])
+        dw = -scale * (jnp.log(tww * net_w / aw) - cur[:, 2])
+        dh = -scale * (jnp.log(thh * net_h / ah) - cur[:, 3])
+        dobj = cur[:, 4] - 1.0
+        onehot = jax.nn.one_hot(tcls, classes)
+        dcls = cur[:, 5:] - onehot
+        upd = jnp.concatenate(
+            [jnp.stack([dx, dy, dw, dh, dobj], axis=1), dcls], axis=1
+        )
+        old = delta[bidx, cj, ci, mask_n]
+        newv = jnp.where(owned[:, None], upd, old)
+        return delta.at[bidx, cj, ci, mask_n].set(newv)
+
+    delta = jax.lax.fori_loop(0, DETECTION_MAX_BOXES, body, delta)
+    return delta.reshape(n, h, w, num * e)
+
+
+def yolo_forward(
+    x: jax.Array,
+    label: Optional[jax.Array],
+    param: Dict,
+    mode: Mode,
+    batch_size: int,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    """Returns (activated output, (surrogate, cost) in TRAIN else None)."""
+    y = yolo_head(x, param["num"], param["classes"])
+    if mode != Mode.TRAIN or label is None:
+        return y, None
+    delta = jax.lax.stop_gradient(
+        yolo_train_deltas(
+            jax.lax.stop_gradient(y),
+            label,
+            param,
+            param["net_w"],
+            param["net_h"],
+        )
+    )
+    surrogate = jnp.sum(delta * x)
+    cost = jnp.sum(jnp.square(delta))
+    return y, (surrogate, cost)
+
+
+# ------------------------------------------------------------------------ #
+# inference post-processing
+# ------------------------------------------------------------------------ #
+
+
+def correct_region_boxes(x, y, w_box, h_box, w, h, netw, neth, relative=1):
+    """Letterbox undo (bcnn_yolo.c:470-496); integer new_w/new_h math kept."""
+    if netw / w < neth / h:
+        new_w = netw
+        new_h = (h * netw) // w
+    else:
+        new_h = neth
+        new_w = (w * neth) // h
+    x = (x - (netw - new_w) / 2.0 / netw) / (new_w / netw)
+    y = (y - (neth - new_h) / 2.0 / neth) / (new_h / neth)
+    w_box = w_box * (netw / new_w)
+    h_box = h_box * (neth / new_h)
+    if not relative:
+        x, w_box = x * w, w_box * w
+        y, h_box = y * h, h_box * h
+    return x, y, w_box, h_box
+
+
+def decode_layer(
+    y: np.ndarray, param: Dict, net_w: int, net_h: int, thresh: float
+) -> List[dict]:
+    """Host-side decode of one yolo layer output (N,H,W,A*(5+K)) for one
+    batch item already selected: y is (H,W,A*(5+K)). Mirrors the fill loop
+    of bcnn_yolo_get_detections (:604-639)."""
+    h, w, _ = y.shape
+    num, classes = param["num"], param["classes"]
+    e = 5 + classes
+    yr = y.reshape(h, w, num, e)
+    dets = []
+    for i in range(h * w):
+        row, col = divmod(i, w)
+        for a in range(num):
+            obj = float(yr[row, col, a, 4])
+            if obj <= thresh:
+                continue
+            m = param["mask"][a]
+            bx = (col + float(yr[row, col, a, 0])) / w
+            by = (row + float(yr[row, col, a, 1])) / h
+            bw = (
+                float(np.exp(yr[row, col, a, 2])) * param["anchors"][2 * m]
+                / net_w
+            )
+            bh = (
+                float(np.exp(yr[row, col, a, 3]))
+                * param["anchors"][2 * m + 1]
+                / net_h
+            )
+            probs = obj * np.asarray(yr[row, col, a, 5:])
+            probs = np.where(probs > thresh, probs, 0.0)
+            dets.append(
+                dict(
+                    x=bx, y=by, w=bw, h=bh, objectness=obj,
+                    num_classes=classes, prob=probs,
+                )
+            )
+    return dets
+
+
+def nms_obj(dets: List[dict], nms_thresh: float = NMS_THRESH) -> List[dict]:
+    """Objectness-sorted greedy NMS (do_nms_obj, bcnn_yolo.c:511-545):
+    suppressed boxes get objectness 0 and zeroed probs but stay in the
+    list, exactly like the reference."""
+    dets = sorted(dets, key=lambda d: -d["objectness"])
+    for i in range(len(dets)):
+        if dets[i]["objectness"] == 0:
+            continue
+        a = (dets[i]["x"], dets[i]["y"], dets[i]["w"], dets[i]["h"])
+        for j in range(i + 1, len(dets)):
+            if dets[j]["objectness"] == 0:
+                continue
+            b = (dets[j]["x"], dets[j]["y"], dets[j]["w"], dets[j]["h"])
+            if float(_box_iou_np(a, b)) > nms_thresh:
+                dets[j]["objectness"] = 0
+                dets[j]["prob"] = np.zeros_like(dets[j]["prob"])
+    return dets
+
+
+def _box_iou_np(a, b):
+    iw = min(a[0] + a[2] / 2, b[0] + b[2] / 2) - max(
+        a[0] - a[2] / 2, b[0] - b[2] / 2
+    )
+    ih = min(a[1] + a[3] / 2, b[1] + b[3] / 2) - max(
+        a[1] - a[3] / 2, b[1] - b[3] / 2
+    )
+    if iw < 0 or ih < 0:
+        return 0.0
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+# ------------------------------------------------------------------------ #
+# fully batched on-device decode + NMS (the TPU fast path)
+# ------------------------------------------------------------------------ #
+
+
+@partial(jax.jit, static_argnames=("max_dets", "thresh", "nms_thresh"))
+def device_decode_nms(
+    boxes: jax.Array,  # (N, M, 4) xywh relative
+    obj: jax.Array,  # (N, M)
+    cls_probs: jax.Array,  # (N, M, K) already multiplied by obj
+    max_dets: int = 100,
+    thresh: float = 0.5,
+    nms_thresh: float = NMS_THRESH,
+):
+    """Vectorized top-K + greedy NMS, no host sync. Returns
+    (boxes (N,max_dets,4), scores (N,max_dets,K), objectness (N,max_dets)).
+    Greedy suppression by objectness order via an O(K^2) masked scan —
+    semantics match do_nms_obj."""
+    n, m, _ = boxes.shape
+    obj = jnp.where(obj > thresh, obj, 0.0)
+    topv, topi = jax.lax.top_k(obj, max_dets)  # (N,max_dets)
+    bsel = jnp.take_along_axis(boxes, topi[..., None], axis=1)
+    psel = jnp.take_along_axis(cls_probs, topi[..., None], axis=1)
+
+    x, y, w, h = bsel[..., 0], bsel[..., 1], bsel[..., 2], bsel[..., 3]
+    iou = _box_iou(
+        (x[..., :, None], y[..., :, None], w[..., :, None], h[..., :, None]),
+        (x[..., None, :], y[..., None, :], w[..., None, :], h[..., None, :]),
+    )  # (N,K,K)
+    suppress_pair = iou > nms_thresh  # i suppresses j (i sorted first)
+
+    def body(i, alive):
+        alive_i = alive[:, i][:, None]  # traced index gather, not a slice
+        row = suppress_pair[:, i, :] & alive_i & (
+            jax.lax.broadcasted_iota(jnp.int32, alive.shape, 1) > i
+        )
+        return alive & ~row
+
+    alive = topv > 0
+    alive = jax.lax.fori_loop(0, max_dets, body, alive)
+    keep = alive & (topv > 0)
+    return (
+        bsel,
+        psel * keep[..., None],
+        topv * keep,
+    )

