@@ -37,6 +37,7 @@ class Session:
         self.params: Dict[str, jax.Array] = {}
         self.state: Dict[str, jax.Array] = {}
         self.opt_state = None
+        self.loader = None
         self._train_step = None
         self._forward_cache = {}
         self._rng = jax.random.PRNGKey(seed ^ 0x5EED)
@@ -72,13 +73,49 @@ class Session:
         self._forward_cache = {}
         return self
 
+    # -- data loader + mode plumbing -------------------------------------- #
+
+    def set_data_loader(
+        self,
+        loader_type,
+        train_path,
+        train_path_extra=None,
+        test_path=None,
+        test_path_extra=None,
+    ):
+        """bcnn_set_data_loader (bcnn.h:466 / bcnn_data.c:377-390)."""
+        from .data import make_loader
+
+        self.loader = make_loader(
+            self.net,
+            loader_type,
+            train_path,
+            train_path_extra,
+            test_path,
+            test_path_extra,
+        )
+        self.loader.set_mode(self.net.mode)
+        return self
+
+    def set_mode(self, mode: Mode):
+        """bcnn_set_mode (bcnn_net.c:490-504): switches mode and rewinds the
+        eval stream."""
+        self.net.set_mode(mode)
+        if getattr(self, "loader", None) is not None:
+            self.loader.set_mode(Mode(mode))
+
     # -- reference-style entry points ------------------------------------ #
 
     def train_on_batch(
-        self, x: np.ndarray, label: np.ndarray
+        self, x: Optional[np.ndarray] = None,
+        label: Optional[np.ndarray] = None,
     ) -> float:
-        """bcnn_train_on_batch (bcnn_net.c:452-463): one fwd/bwd/update;
-        returns the reported loss (metric mean, bcnn_get_loss)."""
+        """bcnn_train_on_batch (bcnn_net.c:452-463): one load/fwd/bwd/update;
+        returns the reported loss (metric mean, bcnn_get_loss). With no
+        arguments the configured data loader supplies the batch, like the
+        reference."""
+        if x is None:
+            x, label = self.loader.next_batch()
         if self._train_step is None:
             self._train_step = make_train_step(self.net)
         self._rng, sub = jax.random.split(self._rng)
@@ -93,12 +130,16 @@ class Session:
         return loss
 
     def predict_on_batch(
-        self, x: np.ndarray, label: Optional[np.ndarray] = None,
+        self, x: Optional[np.ndarray] = None,
+        label: Optional[np.ndarray] = None,
         outputs: Optional[Sequence[str]] = None,
     ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
         """bcnn_predict_on_batch (bcnn_net.c:465-483): forward in the net's
         current mode; returns (outputs, loss). Default output is the last
-        non-cost tensor produced (the net's out tensor)."""
+        non-cost tensor produced (the net's out tensor). With no arguments
+        the configured data loader supplies the batch."""
+        if x is None:
+            x, label = self.loader.next_batch()
         mode = self.net.mode if self.net.mode != Mode.TRAIN else Mode.VALID
         if outputs is None:
             outputs = [self._default_output_name()]

@@ -1,0 +1,245 @@
+"""Vectorized numpy implementations of the bip image ops.
+
+Semantics mirror src/bip/src/bip.c (cited per function). Images are HWC
+uint8 numpy arrays. Fixed-point rounding is replicated where the reference
+uses it (contrast stretch 12-bit, rotate 16.16); bilinear resize matches the
+reference's half-pixel index/alpha mapping in float (the reference's 4-bit
+fixed-point tables quantize alphas — differences are at most 1 uint8 level).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def load_image(path: str) -> np.ndarray:
+    """bip_load_image (bip.c:1837, via stb_image): returns HWC uint8,
+    grayscale stays single-channel."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def write_image(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    Image.fromarray(img).save(path)
+
+
+def crop_image(
+    src: np.ndarray, x_ul: int, y_ul: int, dst_w: int, dst_h: int,
+    fill: int = 0, out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """bip_crop_image (bip.c:319-349): copy the overlapping window; negative
+    offsets shift into the destination (the caller pre-fills the buffer —
+    bcnn memsets 128 for shift augmentation, bcnn_data.c:233)."""
+    h, w, c = src.shape
+    if out is None:
+        out = np.full((dst_h, dst_w, c), fill, np.uint8)
+    off_x = max(0, -x_ul)
+    off_y = max(0, -y_ul)
+    osx = max(0, x_ul)
+    osy = max(0, y_ul)
+    cw = min(w - osx, dst_w - off_x)
+    ch = min(h - osy, dst_h - off_y)
+    if cw > 0 and ch > 0:
+        out[off_y : off_y + ch, off_x : off_x + cw] = src[
+            osy : osy + ch, osx : osx + cw
+        ]
+    return out
+
+
+def fliph_image(src: np.ndarray) -> np.ndarray:
+    """bip_fliph_image (bip.c:1309)."""
+    return src[:, ::-1].copy()
+
+
+def _bilinear_axis(dst_n: int, src_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Half-pixel mapping with edge clamping (bip.c:1121-1156)."""
+    alpha = (np.arange(dst_n, dtype=np.float64) + 0.5) * (src_n / dst_n) - 0.5
+    idx = np.floor(alpha).astype(np.int64)
+    a = alpha - idx
+    a[idx < 0] = 0.0
+    idx[idx < 0] = 0
+    over = idx > src_n - 2
+    a[over] = 1.0
+    idx[over] = src_n - 2
+    return idx, a.astype(np.float32)
+
+
+def resize_bilinear(src: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """bip_resize_bilinear (bip.c:1077-1200)."""
+    h, w, c = src.shape
+    iy, ay = _bilinear_axis(dst_h, h)
+    ix, ax = _bilinear_axis(dst_w, w)
+    s = src.astype(np.float32)
+    top = s[iy][:, ix] * (1 - ax)[None, :, None] + s[iy][:, ix + 1] * ax[
+        None, :, None
+    ]
+    bot = s[iy + 1][:, ix] * (1 - ax)[None, :, None] + s[iy + 1][
+        :, ix + 1
+    ] * ax[None, :, None]
+    out = top * (1 - ay)[:, None, None] + bot * ay[:, None, None]
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def rotate_image(
+    src: np.ndarray, angle: float, center_x: int, center_y: int
+) -> np.ndarray:
+    """bip_rotate_image BILINEAR (bip.c:1202-1307): 16.16 fixed-point inverse
+    map around (center_x, center_y); out-of-range reads produce 0."""
+    h, w, c = src.shape
+    cosa = np.int64(np.cos(angle) * 65536)
+    sina = np.int64(np.sin(angle) * 65536)
+    ys, xs = np.mgrid[0:h, 0:w]
+    ty = (ys - center_y).astype(np.int64)
+    tx = (xs - center_x).astype(np.int64)
+    rx = cosa * tx - sina * ty + (center_x << 16)
+    ry = sina * tx + cosa * ty + (center_y << 16)
+    x_map = rx >> 16
+    y_map = ry >> 16
+    x_diff = ((rx - (x_map << 16)) / 65536.0).astype(np.float32)
+    y_diff = ((ry - (y_map << 16)) / 65536.0).astype(np.float32)
+    valid = (x_map >= 0) & (x_map < w - 1) & (y_map >= 0) & (y_map < h - 1)
+    xm = np.clip(x_map, 0, w - 2)
+    ym = np.clip(y_map, 0, h - 2)
+    s = src.astype(np.float32)
+    xd = x_diff[..., None]
+    yd = y_diff[..., None]
+    out = (
+        s[ym, xm] * (1 - xd) * (1 - yd)
+        + s[ym, xm + 1] * xd * (1 - yd)
+        + s[ym + 1, xm] * (1 - xd) * yd
+        + s[ym + 1, xm + 1] * xd * yd
+    )
+    out = out.astype(np.uint8)  # C truncates the float, no rounding
+    out[~valid] = 0
+    return out
+
+
+def contrast_stretch(src: np.ndarray, contrast: float) -> np.ndarray:
+    """bip_contrast_stretch (bip.c:85-130): per-channel mean-centered scale
+    in 12-bit fixed point."""
+    h, w, c = src.shape
+    cc = np.int64(contrast * (1 << 12) + 0.5)
+    mean = (
+        src.astype(np.uint32).sum(axis=(0, 1)) // (w * h)
+    ).astype(np.int64)
+    pix = (
+        ((src.astype(np.int64) - mean) * cc + (1 << 11)) >> 12
+    ) + mean
+    return np.clip(pix, 0, 255).astype(np.uint8)
+
+
+def image_brightness(src: np.ndarray, brightness: int) -> np.ndarray:
+    """bip_image_brightness (bip.c:131-152)."""
+    return np.clip(src.astype(np.int32) + int(brightness), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _noise2d(x, y, octave: int, seed: int):
+    """_bip_noise2d (bip.c:154-160), with C int32 wraparound."""
+    with np.errstate(over="ignore"):
+        i = (
+            x.astype(np.int32) * np.int32(1619)
+            + y.astype(np.int32) * np.int32(31337)
+            + np.int32(octave * 3463)
+            + np.int32(seed) * np.int32(13397)
+        )
+        n = (i << np.int32(13)) ^ i
+        m = (
+            n * (n * n * np.int32(15731) + np.int32(789221))
+            + np.int32(1376312589)
+        ) & np.int32(0x7FFFFFFF)
+    return 1.0 - m.astype(np.float64) / 1073741824.0
+
+
+def _smooth2d(x, y, octave: int, seed: int):
+    ix = np.floor(x).astype(np.int64)
+    iy = np.floor(y).astype(np.int64)
+    fx = (x - ix)
+    fy = (y - iy)
+    v1 = _noise2d(ix, iy, octave, seed)
+    v2 = _noise2d(ix + 1, iy, octave, seed)
+    v3 = _noise2d(ix, iy + 1, octave, seed)
+    v4 = _noise2d(ix + 1, iy + 1, octave, seed)
+
+    def interp(a, b, t):
+        tt = (1.0 - np.cos(t * np.pi)) * 0.5
+        return a * (1.0 - tt) + b * tt
+
+    return interp(interp(v1, v2, fx), interp(v3, v4, fx), fy)
+
+
+def perlin_distortion(
+    src: np.ndarray, distortion: float, kx: float, ky: float, seed: int
+) -> np.ndarray:
+    """bip_image_perlin_distortion (bip.c:205-266): single-octave
+    (persistence 0) perlin displacement applied equally to x and y; bilinear
+    sample with zero outside."""
+    h, w, c = src.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    x_norm = xs / w
+    y_norm = ys / h
+    noise = _smooth2d(x_norm + kx, y_norm + ky, 0, seed)
+    px = (x_norm + noise * distortion) * w
+    py = (y_norm + noise * distortion) * h
+    x_map = px.astype(np.int64)  # C (int) cast truncates toward zero
+    y_map = py.astype(np.int64)
+    x_diff = (px - np.floor(px)).astype(np.float32)
+    y_diff = (py - np.floor(py)).astype(np.float32)
+    valid = (x_map >= 0) & (x_map < w - 1) & (y_map >= 0) & (y_map < h - 1)
+    xm = np.clip(x_map, 0, w - 2)
+    ym = np.clip(y_map, 0, h - 2)
+    s = src.astype(np.float32)
+    xd = x_diff[..., None]
+    yd = y_diff[..., None]
+    out = (
+        s[ym, xm] * (1 - xd) * (1 - yd)
+        + s[ym, xm + 1] * xd * (1 - yd)
+        + s[ym + 1, xm] * (1 - xd) * yd
+        + s[ym + 1, xm + 1] * xd * yd
+    ).astype(np.uint8)
+    out[~valid] = 0
+    return out
+
+
+def add_random_spotlights(
+    src: np.ndarray,
+    num_spots: int,
+    min_w: float,
+    max_w: float,
+    min_h: float,
+    max_h: float,
+    rng: np.random.RandomState,
+) -> np.ndarray:
+    """bip_add_random_spotlights (bip.c:282-317): additive gaussian
+    spotlights, clamped."""
+    h, w, c = src.shape
+    out = src.astype(np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for _ in range(num_spots):
+        mu_x = int(rng.rand() * (w - 1) + 0.5)
+        mu_y = int(rng.rand() * (h - 1) + 0.5)
+        sx = rng.rand() * (max_w - min_w) + min_w + 0.5
+        sy = rng.rand() * (max_h - min_h) + min_h + 0.5
+        val = np.exp(
+            -0.5
+            * (
+                (xs - mu_x) ** 2 / (sx * sx)
+                + (ys - mu_y) ** 2 / (sy * sy)
+            )
+        )
+        out = np.clip(out + 255.0 * val[..., None], 0, 255)
+    return out.astype(np.uint8)

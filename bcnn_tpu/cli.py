@@ -1,0 +1,192 @@
+"""bcnn-cl equivalent: `python -m bcnn_tpu.cli <train|valid|predict> <conf>
+[model]`.
+
+Mirrors src/cli/bcnn_cl.c:
+  - general params read from the [net]/[network] section
+    (bcnn_cl_load_param :38-102): data_format, input_model, output_model,
+    out_pred, eval_test, eval_period, save_model, num_pred,
+    source_train/label_train, source_test/label_test;
+  - train loop (bcnn_cl_train :104-146): max_batches iterations, periodic
+    eval via mode switch, periodic checkpoints named
+    <output_model>_iter<i>.bcnnmodel;
+  - predict (bcnn_cl_predict :148-250): num_pred/batch batches; raw floats
+    to out_pred, or detection boxes drawn onto det_<b>.png for detection
+    nets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .api import Session
+from .config import load_net, parse_ini
+from .graph import Net
+from .serialization import save_weights
+from .types import LoaderType, Mode
+
+_DATA_FORMATS = {
+    "mnist": LoaderType.MNIST,
+    "cifar10": LoaderType.CIFAR10,
+    "classif": LoaderType.CLASSIFICATION_LIST,
+    "classification": LoaderType.CLASSIFICATION_LIST,
+    "reg": LoaderType.REGRESSION_LIST,
+    "regression": LoaderType.REGRESSION_LIST,
+    "detection": LoaderType.DETECTION_LIST,
+}
+
+
+@dataclass
+class CliParam:
+    """Mirror of bcnn_cl_param with its defaults (bcnn_cl.c:97-101)."""
+
+    data_format: LoaderType = LoaderType.MNIST
+    input_model: Optional[str] = None
+    output_model: Optional[str] = None
+    pred_out: Optional[str] = None
+    eval_test: int = 0
+    eval_period: int = 100
+    save_model: int = 1000
+    num_pred: int = 1
+    train_input: Optional[str] = None
+    path_train_label: Optional[str] = None
+    test_input: Optional[str] = None
+    path_test_label: Optional[str] = None
+
+
+def load_cli_param(config_path: str) -> CliParam:
+    p = CliParam()
+    sections = parse_ini(config_path)
+    for k, v in sections[0].keys:
+        if k == "data_format":
+            if v not in _DATA_FORMATS:
+                raise ValueError(f"Invalid data_format {v!r}")
+            p.data_format = _DATA_FORMATS[v]
+        elif k == "input_model":
+            p.input_model = v
+        elif k == "output_model":
+            p.output_model = v
+        elif k == "out_pred":
+            p.pred_out = v
+        elif k == "eval_test":
+            p.eval_test = int(v)
+        elif k == "eval_period":
+            p.eval_period = int(v)
+        elif k == "save_model":
+            p.save_model = int(v)
+        elif k == "num_pred":
+            p.num_pred = int(v)
+        elif k == "source_train":
+            p.train_input = v
+        elif k == "label_train":
+            p.path_train_label = v
+        elif k == "source_test":
+            p.test_input = v
+        elif k == "label_test":
+            p.path_test_label = v
+    p.num_pred = max(p.num_pred, 1)
+    p.eval_period = p.eval_period if p.eval_period > 0 else 100
+    p.save_model = p.save_model if p.save_model > 0 else 1000
+    return p
+
+
+def predict(sess: Session, param: CliParam) -> float:
+    """bcnn_cl_predict: num_pred/batch batches, returns mean metric/sample."""
+    net = sess.net
+    err = 0.0
+    n = max(1, param.num_pred // net.batch_size)
+    f = open(param.pred_out, "wt") if param.pred_out else None
+    for _ in range(n):
+        outs, loss = sess.predict_on_batch()
+        err += float(loss)
+        if f is not None:
+            out = np.asarray(outs[0]).reshape(net.batch_size, -1)
+            for row in out:
+                f.write(" ".join(f"{v:f}" for v in row) + "\n")
+    if f:
+        f.close()
+    return err / param.num_pred
+
+
+def train(sess: Session, param: CliParam) -> float:
+    net = sess.net
+    nb_iter = net.learner.max_batches
+    sum_error = 0.0
+    t0 = time.time()
+    for i in range(nb_iter):
+        sum_error += float(sess.train_on_batch())
+        if i % param.eval_period == 0 and i > 0:
+            dt = time.time() - t0
+            if param.eval_test:
+                sess.set_mode(Mode.VALID)
+                error_valid = predict(sess, param)
+                sess.set_mode(Mode.TRAIN)
+                print(
+                    f"iter-batches= {i} train-error= "
+                    f"{sum_error / (param.eval_period * net.batch_size):f} "
+                    f"test-error= {error_valid:f} training-time= {dt:.3f} sec",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"iter-batches= {i} train-error= "
+                    f"{sum_error / (param.eval_period * net.batch_size):f} "
+                    f"training-time= {dt:.3f} sec",
+                    file=sys.stderr,
+                )
+            t0 = time.time()
+            sum_error = 0.0
+        if i % param.save_model == 0 and i > 0 and param.output_model:
+            save_weights(
+                sess.net,
+                sess.params,
+                sess.state,
+                f"{param.output_model}_iter{i}.bcnnmodel",
+            )
+    return sum_error / (param.eval_period * net.batch_size)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bcnn-cl")
+    ap.add_argument("mode", choices=["train", "valid", "predict"])
+    ap.add_argument("config")
+    ap.add_argument("model", nargs="?", default=None)
+    args = ap.parse_args(argv)
+
+    mode = {
+        "train": Mode.TRAIN,
+        "valid": Mode.VALID,
+        "predict": Mode.PREDICT,
+    }[args.mode]
+    param = load_cli_param(args.config)
+    net = Net(mode)
+    model_path = args.model or param.input_model
+    load_net(net, args.config, model_path)
+    sess = Session(net)
+    sess.set_data_loader(
+        param.data_format,
+        param.train_input,
+        param.path_train_label,
+        param.test_input,
+        param.path_test_label,
+    )
+    sess.compile_net()
+
+    if mode == Mode.TRAIN:
+        err = train(sess, param)
+        if param.output_model:
+            save_weights(net, sess.params, sess.state, param.output_model)
+        print(f"Training ended, final error= {err:f}", file=sys.stderr)
+    else:
+        err = predict(sess, param)
+        print(f"Average error= {err:f}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
