@@ -3,19 +3,36 @@
 Re-implements the subset of the reference's bip library
 (/root/reference/src/bip/) that the framework uses — load/save, crop (with
 negative-offset padding), bilinear resize, rotate, flip, contrast/brightness,
-perlin distortion, spotlights — as vectorized numpy over HWC uint8 arrays.
+perlin distortion, spotlights. Two backends with identical semantics:
+
+  - native C++ kernels (native/bip.cpp, OpenMP) via ctypes — the default
+    when the toolchain is available;
+  - vectorized numpy (ops.py) — always available, used as fallback and as
+    the cross-check oracle in tests.
+
 File IO uses Pillow instead of the vendored stb_image.
 """
 
 from .ops import (
     add_random_spotlights,
-    contrast_stretch,
-    crop_image,
-    fliph_image,
-    image_brightness,
     load_image,
     perlin_distortion,
-    resize_bilinear,
-    rotate_image,
     write_image,
 )
+from . import native as _native
+from . import ops as _ops
+
+if _native.available():
+    crop_image = _native.crop_image
+    fliph_image = _native.fliph_image
+    resize_bilinear = _native.resize_bilinear
+    rotate_image = _native.rotate_image
+    contrast_stretch = _native.contrast_stretch
+    image_brightness = _native.image_brightness
+else:  # pragma: no cover - exercised when no toolchain is present
+    crop_image = _ops.crop_image
+    fliph_image = _ops.fliph_image
+    resize_bilinear = _ops.resize_bilinear
+    rotate_image = _ops.rotate_image
+    contrast_stretch = _ops.contrast_stretch
+    image_brightness = _ops.image_brightness

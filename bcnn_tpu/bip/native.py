@@ -1,0 +1,171 @@
+"""ctypes bindings for the native C++ bip kernels (native/bip.cpp).
+
+The shared library is built on demand with the repo's native/Makefile the
+first time it's needed; if the toolchain is unavailable everything falls
+back to the numpy implementations in ops.py (identical semantics — the test
+suite cross-checks). Disable with BCNN_TPU_NATIVE=0.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
+)
+_SO = os.path.join(_NATIVE_DIR, "libbcnn_bip.so")
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i = ctypes.c_int
+_f = ctypes.c_float
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("BCNN_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.bcnn_bip_crop.argtypes = [_u8p, _i, _i, _i, _i, _i, _u8p, _i, _i]
+    lib.bcnn_bip_fliph.argtypes = [_u8p, _i, _i, _i, _u8p]
+    lib.bcnn_bip_resize_bilinear.argtypes = [_u8p, _i, _i, _i, _u8p, _i, _i]
+    lib.bcnn_bip_rotate.argtypes = [_u8p, _i, _i, _i, _u8p, _f, _i, _i]
+    lib.bcnn_bip_contrast.argtypes = [_u8p, _i, _i, _i, _u8p, _f]
+    lib.bcnn_bip_brightness.argtypes = [_u8p, _i, _u8p, _i]
+    lib.bcnn_bip_to_float_chw.argtypes = [
+        _u8p, _i, _i, _i, _f, _i, _f32p, _f32p,
+    ]
+    lib.bcnn_bip_batch_to_float_chw.argtypes = [
+        _u8p, _i, _i, _i, _i, _f, _i, _f32p, _f32p,
+    ]
+    lib.bcnn_bip_num_threads.restype = _i
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# --------------------------------------------------------------------- #
+# wrappers (same signatures as ops.py)
+# --------------------------------------------------------------------- #
+
+
+def crop_image(src, x_ul, y_ul, dst_w, dst_h, fill=0, out=None):
+    lib = get_lib()
+    h, w, c = src.shape
+    if out is None:
+        out = np.full((dst_h, dst_w, c), fill, np.uint8)
+    lib.bcnn_bip_crop(
+        np.ascontiguousarray(src), h, w, c, x_ul, y_ul, out, dst_h, dst_w
+    )
+    return out
+
+
+def fliph_image(src):
+    lib = get_lib()
+    h, w, c = src.shape
+    out = np.empty_like(src)
+    lib.bcnn_bip_fliph(np.ascontiguousarray(src), h, w, c, out)
+    return out
+
+
+def resize_bilinear(src, dst_w, dst_h):
+    lib = get_lib()
+    h, w, c = src.shape
+    out = np.empty((dst_h, dst_w, c), np.uint8)
+    lib.bcnn_bip_resize_bilinear(
+        np.ascontiguousarray(src), h, w, c, out, dst_h, dst_w
+    )
+    return out
+
+
+def rotate_image(src, angle, center_x, center_y):
+    lib = get_lib()
+    h, w, c = src.shape
+    out = np.empty_like(src)
+    lib.bcnn_bip_rotate(
+        np.ascontiguousarray(src), h, w, c, out, float(angle),
+        int(center_x), int(center_y),
+    )
+    return out
+
+
+def contrast_stretch(src, contrast):
+    lib = get_lib()
+    h, w, c = src.shape
+    out = np.empty_like(src)
+    lib.bcnn_bip_contrast(
+        np.ascontiguousarray(src), h, w, c, out, float(contrast)
+    )
+    return out
+
+
+def image_brightness(src, brightness):
+    lib = get_lib()
+    out = np.empty_like(src)
+    lib.bcnn_bip_brightness(
+        np.ascontiguousarray(src), src.size, out, int(brightness)
+    )
+    return out
+
+
+def convert_img_to_float(
+    img, norm_coeff=1 / 127.5, swap_to_bgr=0,
+    mean_r=127.5, mean_g=127.5, mean_b=127.5,
+):
+    lib = get_lib()
+    h, w, c = img.shape
+    mean = np.asarray([mean_r, mean_g, mean_b][:c], np.float32)
+    out = np.empty((c, h, w), np.float32)
+    lib.bcnn_bip_to_float_chw(
+        np.ascontiguousarray(img), h, w, c, float(norm_coeff),
+        int(swap_to_bgr), mean, out,
+    )
+    return out
+
+
+def batch_convert_to_float(
+    imgs, norm_coeff=1 / 127.5, swap_to_bgr=0, mean=(127.5, 127.5, 127.5),
+):
+    """imgs: (N,H,W,C) uint8 -> (N,C,H,W) float32, OpenMP over the batch."""
+    lib = get_lib()
+    n, h, w, c = imgs.shape
+    m = np.asarray(mean[:c], np.float32)
+    out = np.empty((n, c, h, w), np.float32)
+    lib.bcnn_bip_batch_to_float_chw(
+        np.ascontiguousarray(imgs), n, h, w, c, float(norm_coeff),
+        int(swap_to_bgr), m, out,
+    )
+    return out

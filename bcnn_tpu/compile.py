@@ -303,14 +303,27 @@ class _Executor:
             self.surrogate = self.surrogate + euclidean_surrogate(
                 x, label, p["scale"]
             )
+            if self.mode != Mode.PREDICT:
+                self.metrics.append(
+                    compute_metric(x, label, p["loss_metric"])
+                )
         elif p["loss"] == Loss.LIFTED_STRUCT:
             from .ops.lifted_struct import lifted_struct_surrogate
+            from .types import Metric
 
-            self.surrogate = self.surrogate + lifted_struct_surrogate(
-                x, label, p["scale"]
-            )
-        if self.mode != Mode.PREDICT:
-            self.metrics.append(compute_metric(x, label, p["loss_metric"]))
+            sur = lifted_struct_surrogate(x, label, p["scale"])
+            self.surrogate = self.surrogate + sur
+            if self.mode != Mode.PREDICT:
+                if p["loss_metric"] in (
+                    Metric.SSE, Metric.MSE, Metric.CRPS
+                ):
+                    # the reference reports 0 here (compute_error reads the
+                    # never-written dst grad); report the actual loss instead
+                    self.metrics.append(sur / max(p["scale"], 1e-12))
+                else:
+                    self.metrics.append(
+                        compute_metric(x, label, p["loss_metric"])
+                    )
 
 
 def execute(

@@ -54,18 +54,31 @@ def main():
     )
     params, state = sess.params, sess.state
 
-    # compile + warmup
-    outs = forward(params, state, x)
-    jax.block_until_ready(outs)
+    def sync(o):
+        # force real completion: block_until_ready alone can return before
+        # execution finishes on the experimental axon backend, so read one
+        # element back to the host
+        jax.block_until_ready(o)
+        return float(np.asarray(o[0][0, 0, 0, 0]))
 
+    # compile + warmup
+    sync(forward(params, state, x))
+
+    # per-iteration host sync puts a tunnel RTT in every sample; to bound it
+    # measure both a per-run timing and an M-deep pipelined burst
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        outs = forward(params, state, x)
-        jax.block_until_ready(outs)
+        sync(forward(params, state, x))
         times.append(time.perf_counter() - t0)
 
-    best = min(times)
+    burst = 8
+    t0 = time.perf_counter()
+    outs = [forward(params, state, x) for _ in range(burst)]
+    sync(outs[-1])
+    burst_per = (time.perf_counter() - t0) / burst
+
+    best = min(min(times), burst_per)
     img_s = batch / best
     print(
         json.dumps(
