@@ -201,6 +201,46 @@ class Session:
             )
         return yolo_ops.nms_obj(dets)
 
+    # -- checkpoint / resume (full state, beyond the reference's
+    #    weights-only bcnn_save_weights) ---------------------------------- #
+
+    def save_checkpoint(self, path: str):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            self.params,
+            self.state,
+            self.opt_state,
+            extra={"step_count": self._step_count},
+        )
+
+    def load_checkpoint(self, path: str):
+        from .checkpoint import load_checkpoint
+
+        self.params, self.state, opt, extra = load_checkpoint(path)
+        if opt:
+            self.opt_state = opt
+        self._step_count = int(extra.get("step_count", 0))
+        return self
+
+    def save_weights(self, path: str):
+        """bcnn_save_weights: the bit-compatible .bcnnmodel format."""
+        from .serialization import save_weights
+
+        save_weights(self.net, self.params, self.state, path)
+
+    def load_weights(self, path: str):
+        """bcnn_load_weights: .bcnnmodel or Darknet .weights."""
+        from .serialization import load_weights
+
+        p = {k: np.asarray(v) for k, v in self.params.items()}
+        s = {k: np.asarray(v) for k, v in self.state.items()}
+        load_weights(self.net, p, s, path)
+        self.params = {k: jnp.asarray(v) for k, v in p.items()}
+        self.state = {k: jnp.asarray(v) for k, v in s.items()}
+        return self
+
     def get_tensor(self, name: str):
         """Host copy of a param/state tensor in reference (flat NCHW blob)
         order where applicable."""
