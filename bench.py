@@ -34,7 +34,7 @@ def main():
     from bcnn_tpu.compile import execute
     from bcnn_tpu.models import yolov3_tiny
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     runs = int(os.environ.get("BENCH_RUNS", "20"))
     net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate

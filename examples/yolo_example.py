@@ -96,10 +96,10 @@ def main(argv):
     out = img.copy()
     hh, ww = img.shape[:2]
     for d in kept:
-        x0 = int(max(0, (d["x"] - d["w"] / 2) * ww))
-        x1 = int(min(ww - 1, (d["x"] + d["w"] / 2) * ww))
-        y0 = int(max(0, (d["y"] - d["h"] / 2) * hh))
-        y1 = int(min(hh - 1, (d["y"] + d["h"] / 2) * hh))
+        x0 = int(np.clip((d["x"] - d["w"] / 2) * ww, 0, ww - 1))
+        x1 = int(np.clip((d["x"] + d["w"] / 2) * ww, 0, ww - 1))
+        y0 = int(np.clip((d["y"] - d["h"] / 2) * hh, 0, hh - 1))
+        y1 = int(np.clip((d["y"] + d["h"] / 2) * hh, 0, hh - 1))
         out[y0:y1, x0, :] = (0, 0, 255)
         out[y0:y1, x1, :] = (0, 0, 255)
         out[y0, x0:x1, :] = (0, 0, 255)
