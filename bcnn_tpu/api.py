@@ -201,6 +201,59 @@ class Session:
             )
         return yolo_ops.nms_obj(dets)
 
+    def detect_on_batch(
+        self,
+        x: np.ndarray,
+        thresh: float = 0.5,
+        max_dets: int = 100,
+        use_pallas: Optional[bool] = None,
+    ):
+        """Fully on-device batched detection: forward + fused decode + NMS
+        in one jitted program, no host round-trips until the final gather —
+        the serving-throughput path (the host-exact path is
+        yolo_get_detections). Returns (boxes (N,K,4), scores (N,K,Kcls),
+        objectness (N,K)) as device arrays."""
+        import jax
+
+        from .compile import execute
+        from .ops.yolo import device_decode_nms
+        from .ops.yolo_pallas import decode_fused, decode_grid_jnp
+        from .types import LayerType
+
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+        key = ("detect", thresh, max_dets, use_pallas)
+        if key not in self._forward_cache:
+            net = self.net
+            yolo_nodes = [
+                (n.src[0], dict(n.param))
+                for n in net.nodes
+                if n.type == LayerType.YOLOV3
+            ]
+            net_w, net_h = net.tensors[0].w, net.tensors[0].h
+
+            @jax.jit
+            def detect(params, state, batch):
+                ex = execute(net, params, state, batch, Mode.PREDICT, None)
+                all_b, all_o, all_p = [], [], []
+                for src_idx, prm in yolo_nodes:
+                    raw = ex.values[src_idx]  # pre-activation conv output
+                    dec = decode_fused if use_pallas else decode_grid_jnp
+                    b, o, p = dec(raw, prm, net_w, net_h)
+                    all_b.append(b)
+                    all_o.append(o)
+                    all_p.append(p)
+                boxes = jnp.concatenate(all_b, axis=1)
+                obj = jnp.concatenate(all_o, axis=1)
+                probs = jnp.concatenate(all_p, axis=1)
+                return device_decode_nms(
+                    boxes, obj, probs, max_dets=max_dets, thresh=thresh
+                )
+
+            self._forward_cache[key] = detect
+        batch = {"input": jnp.asarray(x, jnp.float32)}
+        return self._forward_cache[key](self.params, self.state, batch)
+
     # -- checkpoint / resume (full state, beyond the reference's
     #    weights-only bcnn_save_weights) ---------------------------------- #
 

@@ -813,6 +813,72 @@ class Net:
         )
         self.add_node(node)
 
+    def resize(self, w: int, h: int, c: Optional[int] = None,
+               batch_size: Optional[int] = None):
+        """bcnn_resize_net (bcnn_net.c:287-335): re-shape a fully
+        convolutional graph for a new input size by re-running shape
+        inference over the nodes. On TPU a resize simply re-traces/re-jits
+        with the new static shapes (Session recompiles lazily).
+        """
+        t0 = self.tensors[0]
+        t0.w, t0.h = w, h
+        if c is not None:
+            t0.c = c
+        if batch_size is not None:
+            self.batch_size = batch_size
+            t0.n = batch_size
+        for node in self.nodes:
+            s = self.tensors[node.src[0]]
+            d = self.tensors[node.dst[0]] if node.dst else None
+            p = node.param
+            ty = node.type
+            if ty in (LayerType.CONV2D, LayerType.DEPTHWISE_CONV2D):
+                d.n = s.n
+                d.h = (s.h + 2 * p["pad"] - p["size"]) // p["stride"] + 1
+                d.w = (s.w + 2 * p["pad"] - p["size"]) // p["stride"] + 1
+            elif ty == LayerType.TRANSPOSE_CONV2D:
+                d.n = s.n
+                d.h = p["stride"] * (s.h - 1) + p["size"] - 2 * p["pad"]
+                d.w = p["stride"] * (s.w - 1) + p["size"] - 2 * p["pad"]
+            elif ty == LayerType.MAXPOOL:
+                d.n = s.n
+                d.h = _pool_out(s.h, p["size"], p["stride"], p["padding"])
+                d.w = _pool_out(s.w, p["size"], p["stride"], p["padding"])
+            elif ty == LayerType.AVGPOOL:
+                d.n, d.h, d.w = s.n, 1, 1
+            elif ty == LayerType.FULL_CONNECTED:
+                tw = self.tensors[node.src[1]]
+                if tw.size3d() != s.size3d():
+                    raise BuildError(
+                        "resize: fully-connected input size changed "
+                        "(resize supports fully-convolutional graphs)"
+                    )
+                d.n = s.n
+            elif ty == LayerType.UPSAMPLE:
+                d.n, d.h, d.w = s.n, s.h * p["size"], s.w * p["size"]
+            elif ty == LayerType.CONCAT:
+                d.n, d.h, d.w = s.n, s.h, s.w
+                d.c = sum(self.tensors[i].c for i in node.src)
+            elif ty == LayerType.ELTWISE:
+                t1, t2 = self.tensors[node.src[0]], self.tensors[node.src[1]]
+                d.n, d.c, d.h, d.w = t1.n, t1.c, t1.h, t1.w
+                p["stride"] = (
+                    max(1, t1.w // t2.w if t2.w else 1),
+                    max(1, t2.w // t1.w if t1.w else 1),
+                )
+                p["min_dim"] = (
+                    min(t1.c, t2.c), min(t1.h, t2.h), min(t1.w, t2.w)
+                )
+            elif ty in (LayerType.YOLOV3,):
+                d.n, d.c, d.h, d.w = s.n, s.c, s.h, s.w
+            elif ty == LayerType.COST:
+                lbl = self.tensors[1]
+                lbl.n, lbl.c, lbl.h, lbl.w = s.n, s.c, s.h, s.w
+                d.n, d.c, d.h, d.w = s.n, s.c, s.h, s.w
+            elif node.dst and node.dst[0] != node.src[0]:
+                d.n, d.c, d.h, d.w = s.n, s.c, s.h, s.w
+        return self
+
     # ------------------------------------------------------------------ #
     # introspection helpers used by compile/serialization
     # ------------------------------------------------------------------ #
