@@ -96,12 +96,25 @@ def load_cli_param(config_path: str) -> CliParam:
 
 
 def predict(sess: Session, param: CliParam) -> float:
-    """bcnn_cl_predict: num_pred/batch batches, returns mean metric/sample."""
+    """bcnn_cl_predict (bcnn_cl.c:148-250): num_pred/batch batches; raw
+    floats to out_pred, or det_<b>.png with drawn truth(green)/pred(blue)
+    boxes for detection nets."""
     net = sess.net
     err = 0.0
     n = max(1, param.num_pred // net.batch_size)
-    f = open(param.pred_out, "wt") if param.pred_out else None
+    is_detection = param.data_format == LoaderType.DETECTION_LIST
+    f = (
+        open(param.pred_out, "wt")
+        if (param.pred_out and not is_detection)
+        else None
+    )
     for _ in range(n):
+        if is_detection and param.pred_out:
+            x, y = sess.loader.next_batch()
+            _dump_detections(sess, x, y)
+            _, loss = sess.predict_on_batch(x, y)
+            err += float(loss)
+            continue
         outs, loss = sess.predict_on_batch()
         err += float(loss)
         if f is not None:
@@ -111,6 +124,45 @@ def predict(sess: Session, param: CliParam) -> float:
     if f:
         f.close()
     return err / param.num_pred
+
+
+def _draw_box(img, bx, by, bw, bh, color):
+    """bcnn_draw_color_box equivalent; img HWC uint8, box relative xywh."""
+    hh, ww = img.shape[:2]
+    x0 = int(np.clip((bx - bw / 2) * ww, 0, ww - 1))
+    x1 = int(np.clip((bx + bw / 2) * ww, 0, ww - 1))
+    y0 = int(np.clip((by - bh / 2) * hh, 0, hh - 1))
+    y1 = int(np.clip((by + bh / 2) * hh, 0, hh - 1))
+    img[y0:y1, x0] = color
+    img[y0:y1, x1] = color
+    img[y0, x0:x1] = color
+    img[y1, x0:x1] = color
+
+
+def _dump_detections(sess: Session, x, y):
+    """det_<b>.png dumps: truth boxes green, detections blue."""
+    from . import bip
+
+    net = sess.net
+    w, h = net.tensors[0].w, net.tensors[0].h
+    for b in range(net.batch_size):
+        img = np.clip((x[b] + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        img = np.transpose(img, (1, 2, 0))
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        img = np.ascontiguousarray(img)
+        for t in range(y.shape[1] // 5):
+            bx, by_, bw, bh, _cls = y[b, t * 5 : t * 5 + 5]
+            if bw <= 0 or bh <= 0:
+                continue
+            _draw_box(img, bx, by_, bw, bh, (0, 255, 0))
+        dets = sess.yolo_get_detections(
+            x, w, h, w, h, thresh=0.5, batch_item=b
+        )
+        for d in dets:
+            if d["objectness"] > 0:
+                _draw_box(img, d["x"], d["y"], d["w"], d["h"], (0, 0, 255))
+        bip.write_image(f"det_{b}.png", img)
 
 
 def train(sess: Session, param: CliParam) -> float:

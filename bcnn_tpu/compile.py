@@ -393,6 +393,41 @@ def make_train_step(net: Net):
     return train_step
 
 
+def make_train_scan(net: Net):
+    """Multi-step training in ONE device program: lax.scan over the train
+    step with pre-staged batches (K, B, ...) — no host round-trip per step.
+    This is the TPU-native answer to the reference's per-batch loop
+    (bcnn_cl_train): on a tunneled chip per-step dispatch costs an RTT;
+    scanning K steps amortizes it to one. Returns per-step losses."""
+    from .learner import apply_updates
+
+    def loss_fn(params, state, batch, rng):
+        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
+        return ex.surrogate, (ex.state, get_loss(ex))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_scan(params, state, opt_state, batches, rng):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            x, y, key = xs
+            (_, (state2, loss)), grads = grad_fn(
+                params, state, {"input": x, "label": y}, key
+            )
+            params2, opt2 = apply_updates(net, params, grads, opt_state)
+            return (params2, state2, opt2), loss
+
+        keys = jax.random.split(rng, batches["input"].shape[0])
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state),
+            (batches["input"], batches["label"], keys),
+        )
+        return params, state, opt_state, losses
+
+    return train_scan
+
+
 def make_eval_step(net: Net):
     """bcnn_predict_on_batch in VALID mode: forward + metric, no state
     mutation (running stats untouched outside TRAIN)."""

@@ -760,6 +760,11 @@ class Net:
         node = Node(type=LayerType.YOLOV3)
         self._resolve_src(node, src_id, "Yolo layer")
         s = self._src(node)
+        if num_boxes_per_cell * (classes + coords + 1) != s.c:
+            raise BuildError(
+                f"Yolo layer: inconsistent number of channels "
+                f"{num_boxes_per_cell * (classes + coords + 1)} != {s.c}"
+            )
         from .types import DETECTION_MAX_BOXES
 
         lbl = self.tensors[1]
