@@ -372,15 +372,25 @@ def make_forward(net: Net, output_names, mode: Mode):
     return forward
 
 
-def make_train_step(net: Net):
+def make_train_step(net: Net, remat: Optional[bool] = None):
     """One bcnn_train_on_batch equivalent (bcnn_net.c:452-463):
     forward -> backward (autodiff) -> update -> loss, as a single jitted,
-    buffer-donating program."""
+    buffer-donating program.
+
+    remat (or net.remat): rematerialize the forward during the backward
+    pass (jax.checkpoint) — trades FLOPs for HBM, for activations that
+    don't fit (e.g. large-resolution detection training)."""
     from .learner import apply_updates
+
+    if remat is None:
+        remat = bool(getattr(net, "remat", False))
 
     def loss_fn(params, state, batch, rng):
         ex = execute(net, params, state, batch, Mode.TRAIN, rng)
         return ex.surrogate, (ex.state, get_loss(ex))
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

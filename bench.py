@@ -36,6 +36,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     runs = int(os.environ.get("BENCH_RUNS", "20"))
+    mode = os.environ.get("BENCH_MODE", "forward")  # forward | detect
     net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
     sess = Session(net, seed=0).compile_net()
@@ -44,10 +45,41 @@ def main():
         net.get_tensor_index_by_name("lid24"),
     ]
 
-    @jax.jit
-    def forward(params, state, x):
-        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
-        return tuple(ex.values[i] for i in out_idx)
+    if mode == "detect":
+        # full serving pipeline: forward + Pallas fused decode + device NMS
+        from bcnn_tpu.ops.yolo import device_decode_nms
+        from bcnn_tpu.ops.yolo_pallas import decode_fused
+        from bcnn_tpu.types import LayerType
+
+        yolo_nodes = [
+            (n.src[0], dict(n.param))
+            for n in net.nodes
+            if n.type == LayerType.YOLOV3
+        ]
+        net_w, net_h = net.tensors[0].w, net.tensors[0].h
+
+        @jax.jit
+        def forward(params, state, x):
+            ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+            bs, os_, ps = [], [], []
+            for src_idx, prm in yolo_nodes:
+                b, o, p = decode_fused(ex.values[src_idx], prm, net_w, net_h)
+                bs.append(b)
+                os_.append(o)
+                ps.append(p)
+            return device_decode_nms(
+                jnp.concatenate(bs, 1),
+                jnp.concatenate(os_, 1),
+                jnp.concatenate(ps, 1),
+                max_dets=100,
+                thresh=0.5,
+            )
+    else:
+
+        @jax.jit
+        def forward(params, state, x):
+            ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+            return tuple(ex.values[i] for i in out_idx)
 
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, 3, 416, 416), jnp.float32
@@ -59,7 +91,8 @@ def main():
         # execution finishes on the experimental axon backend, so read one
         # element back to the host
         jax.block_until_ready(o)
-        return float(np.asarray(o[0][0, 0, 0, 0]))
+        leaf = jax.tree.leaves(o)[0]
+        return float(np.asarray(leaf).ravel()[0])
 
     # compile + warmup
     sync(forward(params, state, x))
@@ -83,7 +116,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "yolov3_tiny_416_inference",
+                "metric": (
+                    "yolov3_tiny_416_detect"
+                    if mode == "detect"
+                    else "yolov3_tiny_416_inference"
+                ),
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / TARGET_IMG_S, 3),
