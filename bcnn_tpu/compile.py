@@ -90,6 +90,14 @@ class _Executor:
         self.surrogate = jnp.zeros((), jnp.float32)
         self.metrics = []  # per cost node reported value
         self.compute_dtype = getattr(net, "compute_dtype", None)
+        # inference perf path: keep activations in the compute dtype
+        # between layers (halves HBM traffic); training keeps fp32
+        # residuals for exact optimizer math
+        self.act_dtype = (
+            self.compute_dtype
+            if (self.compute_dtype is not None and mode == Mode.PREDICT)
+            else None
+        )
 
     def key_of(self, idx: int) -> str:
         return self.net.tensors[idx].key
@@ -112,11 +120,12 @@ class _Executor:
         `extra` maps roles to src positions."""
         p = node.param
         training = self.mode == Mode.TRAIN
+        dt = y.dtype
         if p.get("batch_norm"):
             mean_k = self.key_of(node.src[extra["mean"]])
             var_k = self.key_of(node.src[extra["var"]])
-            scales = self.p(node.src[extra["scales"]])
-            biases = self.p(bias_idx)
+            scales = self.p(node.src[extra["scales"]]).astype(dt)
+            biases = self.p(bias_idx).astype(dt)
             y, nm, nv = ops.batch_norm(
                 y,
                 scales,
@@ -130,11 +139,11 @@ class _Executor:
                 self.state[mean_k] = nm
                 self.state[var_k] = nv
         else:
-            y = y + self.p(bias_idx)
+            y = y + self.p(bias_idx).astype(dt)
         act = p["activation"]
         slopes = None
         if act == Activation.PRELU:
-            slopes = self.p(node.src[extra["slopes"]])
+            slopes = self.p(node.src[extra["slopes"]]).astype(dt)
         y = ops.apply_activation(y, act, slopes)
         return y
 
@@ -149,6 +158,7 @@ class _Executor:
             p["pad"],
             p["num_groups"],
             self.compute_dtype,
+            self.act_dtype,
         )
         extra = {"mean": 3, "var": 4, "scales": 5}
         extra["slopes"] = 6 if p.get("batch_norm") else 3
@@ -160,11 +170,11 @@ class _Executor:
         x = self.values[node.src[0]]
         w = self.p(node.src[1])
         y = ops.depthwise_conv2d(
-            x, w, p["stride"], p["pad"], self.compute_dtype
+            x, w, p["stride"], p["pad"], self.compute_dtype, self.act_dtype
         )
         # depthwise builder supports bias + activation (BN flag parsed but the
         # reference wires no BN tensors for it)
-        y = y + self.p(node.src[2])
+        y = y + self.p(node.src[2]).astype(y.dtype)
         y = ops.apply_activation(y, p["activation"])
         self.values[node.dst[0]] = y
 
@@ -276,7 +286,9 @@ class _Executor:
         p = dict(node.param)
         p["net_w"] = self.net.tensors[0].w
         p["net_h"] = self.net.tensors[0].h
-        x = self.values[node.src[0]]
+        # head math (exp/logistic, box targets) in fp32 regardless of the
+        # perf path's activation dtype
+        x = self.values[node.src[0]].astype(jnp.float32)
         label = self.values.get(1)
         y, surrogate = yolo_ops.yolo_forward(
             x, label, p, self.mode, self.net.batch_size

@@ -32,8 +32,14 @@ def conv2d(
     pad: int,
     groups: int = 1,
     compute_dtype=None,
+    out_dtype=None,
 ) -> jax.Array:
-    """x: (N,H,W,C), w: (k,k,C//groups,O) -> (N,H',W',O), fp32 accumulation."""
+    """x: (N,H,W,C), w: (k,k,C//groups,O) -> (N,H',W',O).
+
+    compute_dtype: MXU input dtype (bf16 for the perf path); the MXU always
+    accumulates fp32 internally. out_dtype: result dtype — keeping it bf16
+    in inference halves inter-layer HBM traffic on the memory-bound
+    high-resolution layers."""
     precision = lax.Precision.HIGHEST
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -47,7 +53,7 @@ def conv2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype or jnp.float32,
     )
 
 
@@ -57,11 +63,13 @@ def depthwise_conv2d(
     stride: int,
     pad: int,
     compute_dtype=None,
+    out_dtype=None,
 ) -> jax.Array:
     """Depthwise conv (bcnn_depthwise_conv_layer.c:165-294): one filter per
     input channel. w: (k,k,1,C), feature_group_count == C."""
     return conv2d(
-        x, w, stride, pad, groups=x.shape[-1], compute_dtype=compute_dtype
+        x, w, stride, pad, groups=x.shape[-1],
+        compute_dtype=compute_dtype, out_dtype=out_dtype,
     )
 
 

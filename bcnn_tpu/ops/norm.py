@@ -43,7 +43,8 @@ def batch_norm(
         new_mean = RUN_MOMENTUM * run_mean + (1.0 - RUN_MOMENTUM) * mean
         new_var = RUN_MOMENTUM * run_var + (1.0 - RUN_MOMENTUM) * var
     else:
-        mean, var = run_mean, run_var
+        # stay in the activation dtype on the inference perf path
+        mean, var = run_mean.astype(x.dtype), run_var.astype(x.dtype)
         new_mean, new_var = run_mean, run_var
     x_norm = (x - mean) * jax.lax.rsqrt(var + EPS)
     return x_norm * scales + biases, new_mean, new_var

@@ -82,14 +82,19 @@ def main():
     x = jnp.asarray(
         np.random.RandomState(0).rand(t0.n, t0.c, t0.h, t0.w), jnp.float32
     )
-    outs = forward(sess.params, sess.state, x)
-    jax.block_until_ready(outs)
+
+    def sync(o):
+        # block_until_ready alone can return early on the experimental
+        # axon backend; reading an element forces completion
+        jax.block_until_ready(o)
+        return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0])
+
+    sync(forward(sess.params, sess.state, x))
 
     times = []
     for _ in range(args.runs):
         t = time.perf_counter()
-        outs = forward(sess.params, sess.state, x)
-        jax.block_until_ready(outs)
+        sync(forward(sess.params, sess.state, x))
         times.append((time.perf_counter() - t) * 1e3)
     print(
         f"{args.model or args.config}: batch={t0.n} "
