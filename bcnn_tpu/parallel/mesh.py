@@ -73,6 +73,33 @@ def make_dp_train_step(net: Net, mesh: Mesh):
     )
 
 
+def make_spatial_forward(net: Net, mesh: Mesh, output_names,
+                         axis: str = BATCH_AXIS):
+    """Spatial partitioning: shard the image HEIGHT across the mesh —
+    the TPU answer to inputs that exceed one chip's HBM (SURVEY.md §2.8:
+    bcnn's scaling axis is image resolution). GSPMD inserts the halo
+    exchanges convolutions need at shard edges automatically; callers feed
+    full (replicated-batch) NCHW images and get full outputs back."""
+    repl = NamedSharding(mesh, P())
+    # NCHW input: shard H (axis 2)
+    in_sh = NamedSharding(mesh, P(None, None, axis, None))
+    out_idx = [net.get_tensor_index_by_name(n) for n in output_names]
+
+    def core(params, state, x):
+        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+        outs = []
+        for i in out_idx:
+            v = ex.values[i]
+            outs.append(nhwc_to_nchw(v) if v.ndim == 4 else v)
+        return tuple(outs)
+
+    return jax.jit(
+        core,
+        in_shardings=(repl, repl, in_sh),
+        out_shardings=repl,
+    )
+
+
 def make_dp_forward(net: Net, mesh: Mesh, output_names, mode: Mode):
     """Batch-sharded inference: the throughput path for serving."""
     repl = NamedSharding(mesh, P())

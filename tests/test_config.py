@@ -245,3 +245,22 @@ def test_reference_yolov3_tiny_cfg_parses(tmp_path):
     # anchors parsed
     assert len(yolo_nodes[0].param["anchors"]) == 12
     assert yolo_nodes[0].param["classes"] == 80
+
+    # the full reference graph must run: resize to 160 for CPU speed and
+    # execute one forward through both heads
+    import numpy as np
+
+    from bcnn_tpu import Session
+
+    net.resize(160, 160, batch_size=1)
+    sess = Session(net, 0).compile_net()
+    names = [net.tensors[n.dst[0]].name for n in yolo_nodes]
+    x = np.zeros((1, 3, 160, 160), np.float32)
+    outs, _ = sess.predict_on_batch(x, outputs=names)
+    got = sorted(np.asarray(o).shape[2] for o in outs)
+    assert got == [5, 10]  # 160/32, 160/16
+    for o in outs:
+        a = np.asarray(o)
+        assert np.isfinite(a).all()
+        # objectness/class channels are post-logistic: within (0,1)
+        assert a.min() >= -50 and a.max() <= 50

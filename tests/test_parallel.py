@@ -77,6 +77,25 @@ def test_dp_train_step_matches_single_device(mesh8):
         )
 
 
+def test_spatial_forward_matches_single_device(mesh8):
+    """Height-sharded inference (halo exchange inserted by GSPMD) must
+    equal the unsharded forward."""
+    from bcnn_tpu.models import cifar10_convnet
+    from bcnn_tpu import Mode
+    from bcnn_tpu.parallel import make_spatial_forward
+
+    net = cifar10_convnet(batch_size=2, mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    x = np.random.RandomState(3).randn(2, 3, 32, 32).astype(np.float32)
+    (ref,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+
+    fwd = make_spatial_forward(net, mesh8, ["softmax"])
+    (got,) = fwd(sess.params, sess.state, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_dp_multiple_steps_converge(mesh8):
     batch = 32
     net = lenet_mnist(batch)
