@@ -90,13 +90,13 @@ class _Executor:
         self.surrogate = jnp.zeros((), jnp.float32)
         self.metrics = []  # per cost node reported value
         self.compute_dtype = getattr(net, "compute_dtype", None)
-        # inference perf path: keep activations in the compute dtype
-        # between layers (halves HBM traffic); training keeps fp32
-        # residuals for exact optimizer math
+        # opt-in (net.act_dtype): keep activations in a reduced dtype
+        # between layers. Measured on v5e/axon this *hurts* yolov3-tiny
+        # (bf16 relayout costs exceed the HBM savings: 198ms vs 37ms for
+        # batch 256), so the default keeps fp32 activations with bf16 MXU
+        # inputs; revisit per-model.
         self.act_dtype = (
-            self.compute_dtype
-            if (self.compute_dtype is not None and mode == Mode.PREDICT)
-            else None
+            getattr(net, "act_dtype", None) if mode == Mode.PREDICT else None
         )
 
     def key_of(self, idx: int) -> str:
@@ -349,14 +349,14 @@ def execute(
     """inputs: name -> NCHW array ('input' required, 'label' optional)."""
     ex = _Executor(net, params, state, mode, rng)
     for name, arr in inputs.items():
-        idx = 1 if name == "label" else net.get_tensor_index_by_name(name)
-        if name != "label" and idx > 1:
-            # extra named inputs keep reference layout semantics
-            pass
         if name == "input":
             idx = 0
+        elif name == "label":
+            idx = 1
+        else:  # extra named inputs (bcnn_add_input)
+            idx = net.get_tensor_index_by_name(name)
         if arr.ndim == 4 and name != "label":
-            arr = nchw_to_nhwc(arr)
+            arr = nchw_to_nhwc(arr)  # labels keep reference NCHW layout
         ex.values[idx] = arr
     return ex.run()
 

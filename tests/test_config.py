@@ -148,7 +148,6 @@ def test_darknet_dialect(tmp_path):
     # file; emulate by loading with a real (tiny, valid) weights file.
     import struct
 
-    conv1_fl = 8 * (1 + 4 * 3 * 3 // 3)  # placeholder, we build manually
     with open(w, "wb") as fp:
         fp.write(struct.pack("<3i", 0, 2, 0))
         fp.write(struct.pack("<Q", 0))
