@@ -152,6 +152,82 @@ class Session:
         outs, loss = self._forward_cache[key](self.params, self.state, batch)
         return outs, loss
 
+    # -- split-phase API (bcnn_forward / bcnn_backward / bcnn_update) ----- #
+    # The fused train_on_batch is the fast path; these support reference-
+    # style custom loops. forward() caches activations, backward() computes
+    # and caches gradients, update() applies the optimizer step.
+
+    def forward(self, x=None, label=None):
+        """bcnn_forward: runs the current-mode forward, caching every
+        tensor value for get_tensor()."""
+        if x is None:
+            x, label = self.loader.next_batch()
+        self._cur_batch = {
+            "input": jnp.asarray(x, jnp.float32),
+        }
+        if label is not None:
+            self._cur_batch["label"] = jnp.asarray(label, jnp.float32)
+        self._rng, sub = jax.random.split(self._rng)
+        self._cur_rng = sub
+        ex = compile_mod.execute(
+            self.net, self.params, self.state, self._cur_batch,
+            self.net.mode, sub,
+        )
+        self._cur_values = ex.values
+        if self.net.mode == Mode.TRAIN:
+            self.state = ex.state
+        self._cur_loss = compile_mod.get_loss(ex)
+        return self._cur_loss
+
+    def backward(self):
+        """bcnn_backward: gradients of the surrogate loss w.r.t. params,
+        cached for update()."""
+
+        def loss_fn(params):
+            ex = compile_mod.execute(
+                self.net, params, self.state, self._cur_batch,
+                Mode.TRAIN, self._cur_rng,
+            )
+            return ex.surrogate
+
+        self._cur_grads = jax.grad(loss_fn)(self.params)
+        return self._cur_grads
+
+    def update(self):
+        """bcnn_update: one optimizer step with the cached gradients."""
+        from .learner import apply_updates
+
+        self.params, self.opt_state = apply_updates(
+            self.net, self.params, self._cur_grads, self.opt_state
+        )
+
+    def get_tensor_value(self, name: str):
+        """bcnn_get_tensor_by_name for activations: the tensor's value from
+        the last forward(), in reference NCHW layout."""
+        idx = self.net.get_tensor_index_by_name(name)
+        v = self._cur_values[idx]
+        return np.asarray(nhwc_to_nchw(v) if v.ndim == 4 else v)
+
+    def get_batch_size(self) -> int:
+        return self.net.batch_size
+
+    def get_num_threads(self) -> int:
+        return self.net.num_threads
+
+    def fill_tensor_with_image(
+        self, img_u8, batch_index: int, x_buffer,
+        norm_coeff=1 / 127.5, swap_to_bgr=0,
+        mean_r=127.5, mean_g=127.5, mean_b=127.5,
+    ):
+        """bcnn_fill_tensor_with_image (bcnn_data.c:42-68): normalize one
+        HWC uint8 image into row `batch_index` of a host NCHW batch."""
+        from .data.augment import convert_img_to_float
+
+        x_buffer[batch_index] = convert_img_to_float(
+            img_u8, norm_coeff, swap_to_bgr, mean_r, mean_g, mean_b
+        )
+        return x_buffer
+
     def _default_output_name(self) -> str:
         from .types import LayerType
 

@@ -224,6 +224,52 @@ def bcnn_compile_net(net: Session):
     net.compile_net()
 
 
+def bcnn_forward(net: Session):
+    return net.forward()
+
+
+def bcnn_backward(net: Session):
+    return net.backward()
+
+
+def bcnn_update(net: Session):
+    return net.update()
+
+
+def bcnn_get_batch_size(net: Session):
+    return net.get_batch_size()
+
+
+def bcnn_get_num_threads(net: Session):
+    return net.get_num_threads()
+
+
+def bcnn_get_tensor_index_by_name(net: Session, name):
+    return net.net.get_tensor_index_by_name(name)
+
+
+def bcnn_get_tensor_by_name(net: Session, name):
+    try:
+        return net.get_tensor(name)  # params / running stats
+    except KeyError:
+        return net.get_tensor_value(name)  # activations from last forward
+
+
+def bcnn_get_tensor_by_index(net: Session, index):
+    return bcnn_get_tensor_by_name(net, net.net.tensors[index].name)
+
+
+def bcnn_fill_tensor_with_image(net: Session, img, w, h, c, norm_coeff,
+                                swap_to_bgr, mean_r, mean_g, mean_b,
+                                tensor_index, batch_index, x_buffer):
+    import numpy as _np
+
+    return net.fill_tensor_with_image(
+        _np.asarray(img, _np.uint8).reshape(h, w, c), batch_index, x_buffer,
+        norm_coeff, swap_to_bgr, mean_r, mean_g, mean_b,
+    )
+
+
 def bcnn_train_on_batch(net: Session):
     return float(net.train_on_batch())
 
