@@ -54,8 +54,10 @@ def main(argv):
     imgs, labels = load_idx(tr_i, tr_l)
     test_imgs, test_labels = load_idx(te_i, te_l)
     batch = 128
-    steps_per_chunk = int(os.environ.get("CHUNK", "100"))
-    chunks = int(os.environ.get("CHUNKS", "6"))
+    # keep the scan short: the remote compiler's cost grows with scan
+    # length, and >25 steps/chunk has been seen to wedge the compile queue
+    steps_per_chunk = int(os.environ.get("CHUNK", "20"))
+    chunks = int(os.environ.get("CHUNKS", "30"))
 
     net = lenet_mnist(batch_size=batch, mode=Mode.TRAIN)
     net.set_sgd_optimizer(0.02, 0.9)  # larger batch -> larger lr
