@@ -22,7 +22,6 @@ from .compile import (
     execute,
     get_loss,
     init_params,
-    make_eval_step,
     make_train_step,
     nhwc_to_nchw,
 )

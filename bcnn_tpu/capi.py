@@ -18,8 +18,6 @@ Net; mode/loader/weights functions map 1:1 to the reference's.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from .api import Session
 from .graph import Net
 from .types import (

@@ -22,7 +22,7 @@ configs rely on.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import ops
 from .graph import Net, Node, TensorKind
 from .ops.losses import compute_metric, euclidean_surrogate
-from .types import Activation, LayerType, Loss, Mode
+from .types import Activation, Loss, Mode
 
 
 def nchw_to_nhwc(x: jax.Array) -> jax.Array:

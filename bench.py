@@ -16,7 +16,6 @@ syncs through the device tunnel would otherwise dominate).
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bcnn_tpu_jax_cache")

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bcnn_tpu import LoaderType, Mode, Session
-from bcnn_tpu.compile import make_train_scan, make_eval_step
+from bcnn_tpu import Mode, Session
+from bcnn_tpu.compile import make_train_scan
 from bcnn_tpu.models import lenet_mnist
 from examples.mnist_example import synth_mnist
 
