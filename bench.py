@@ -97,20 +97,23 @@ def main():
     sync(forward(params, state, x))
 
     # per-iteration host sync puts a tunnel RTT in every sample; to bound it
-    # measure both a per-run timing and an M-deep pipelined burst
+    # measure both per-run timings and M-deep pipelined bursts. The shared
+    # chip shows large jitter (identical HLOs have measured 37ms and 530ms
+    # hours apart), so sample several rounds and keep the global best.
     times = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        sync(forward(params, state, x))
-        times.append(time.perf_counter() - t0)
-
+    burst_times = []
     burst = 8
-    t0 = time.perf_counter()
-    outs = [forward(params, state, x) for _ in range(burst)]
-    sync(outs[-1])
-    burst_per = (time.perf_counter() - t0) / burst
+    for _ in range(max(1, runs // 4)):
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sync(forward(params, state, x))
+            times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        outs = [forward(params, state, x) for _ in range(burst)]
+        sync(outs[-1])
+        burst_times.append((time.perf_counter() - t0) / burst)
 
-    best = min(min(times), burst_per)
+    best = min(min(times), min(burst_times))
     img_s = batch / best
     print(
         json.dumps(
