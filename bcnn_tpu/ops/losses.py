@@ -34,6 +34,21 @@ def euclidean_surrogate(x: jax.Array, label: jax.Array, scale: float):
     return 0.5 * scale * jnp.sum(jnp.square(diff))
 
 
+def huber(x: jax.Array, label: jax.Array, hdelta: float = 1.0):
+    """Huber loss (bcnn_huber_loss, bcnn_cost_layer.c:93-109 — present but
+    unused in the reference; provided for the same completeness).
+    Returns (error, grad) with the reference's exact piecewise forms:
+    quadratic e^2 inside |e| <= delta, linearized 2*delta*|e| - delta^2
+    outside with a clipped +-1 gradient."""
+    e = x - label
+    inside = jnp.abs(e) <= hdelta
+    err = jnp.sum(
+        jnp.where(inside, e * e, 2.0 * hdelta * jnp.abs(e) - hdelta * hdelta)
+    )
+    grad = jnp.where(inside, e, jnp.sign(e))
+    return err, grad
+
+
 def compute_metric(x: jax.Array, label: jax.Array, metric: Metric):
     """x, label: (N, F) flat NCHW order. Returns the scalar the reference
     stores in dst data[0]."""
