@@ -616,13 +616,18 @@ class Net:
         dst_id: str,
     ):
         """bcnn_add_lrn_layer: cross-channel local response normalization,
-        output = input * (k + alpha/n * sum(x^2 over window))^(-beta)
-        (bcnn.h:850-868)."""
+        documented as input * (k + alpha/n * sum(x^2))^(-beta)
+        (bcnn.h:850-868). The reference's builder never stores its k
+        argument (param->k stays calloc'd 0, bcnn_lrn_layer.c:49-52), so
+        the effective bias is ALWAYS 0 — replicated here for numerical
+        parity (verified against the compiled reference)."""
         node = Node(type=LayerType.LRN)
         self._resolve_src(node, src_id, "LRN layer")
         s = self._src(node)
         self._add_dst(node, dst_id, s.n, s.c, s.h, s.w)
-        node.param = dict(local_size=local_size, alpha=alpha, beta=beta, k=k)
+        node.param = dict(
+            local_size=local_size, alpha=alpha, beta=beta, k=0.0
+        )
         self.add_node(node)
 
     def add_maxpool_layer(

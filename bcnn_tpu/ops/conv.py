@@ -87,17 +87,30 @@ def conv2d_transpose(
     (gradient) of a forward conv with the same stride/padding.
     w: (k,k,Cout,Cin) — the HWIO weight of the forward conv being transposed,
     so I == deconv output channels, O == deconv input channels.
+
+    Parity note: the reference's forward passes pad=0 to col2im regardless
+    of the configured pad (bcnn_deconv_layer.c:177-180) while sizing the
+    output with the pad (builder :97-101) — padded deconvs are
+    geometrically inconsistent there. This implementation is the standard
+    transpose; it matches the reference exactly for pad == 0 (verified in
+    tests/test_reference_parity.py).
     """
     precision = lax.Precision.HIGHEST
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
         precision = lax.Precision.DEFAULT
+    # lax.conv_transpose's explicit padding pairs apply to the dilated
+    # input, not the forward conv being transposed: the gradient of a conv
+    # with padding p needs explicit pads of (k-1-p) per edge, giving
+    # output s*(i-1) + k - 2p
+    k = w.shape[0]
+    e = k - 1 - pad
     return lax.conv_transpose(
         x,
         w,
         strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)),
+        padding=((e, e), (e, e)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
         precision=precision,

@@ -70,23 +70,44 @@ def upsample_nn(x: jax.Array, size: int) -> jax.Array:
 def lrn(
     x: jax.Array, local_size: int, alpha: float, beta: float, k: float
 ) -> jax.Array:
-    """Cross-channel local response normalization (bcnn_lrn_layer.c:106-155):
-      y = x * (k + alpha/local_size * sum_{window} x^2)^(-beta)
-    with the steady-state window [c-(local_size-1)/2, c+local_size/2]
-    clipped to valid channels. (The reference's running-sum init omits the
-    tail channel for c == 0 — an off-by-one we do not replicate.)
-    x: NHWC.
+    """Cross-channel local response normalization, transcribed EXACTLY from
+    the reference's running-sum implementation (bcnn_lrn_layer.c:106-155):
+      y = x * norm^(-beta)
+    where norm is built channel-by-channel:
+      norm[0]   = k + a * sum_{c' < ls/2} sq[c']
+      loop A (c in [1, min(1+(ls-1)/2, C-ls/2))):
+                  norm[c] = norm[c-1] + a*sq[c + ls/2]
+      loop B (c in [min(1+(ls-1)/2, C-ls/2), C-ls/2)):
+                  norm[c] = norm[c-1] - a*sq[c-(ls-1)/2-1] + a*sq[c+ls/2]
+      loop C (c in [max(1, C-ls/2), C)):
+                  norm[c] = norm[c-1] - a*sq[c-(ls-1)/2-1]
+    with a = alpha/local_size. Note this is NOT the textbook symmetric
+    window (e.g. for ls=3 channel 1's window is {0,2}) — the quirk is
+    preserved for numerical parity, which the cross-implementation test
+    (tests/test_reference_parity.py) checks against the compiled reference.
+    x: NHWC; channel count is static, the recurrence unrolls at trace time.
     """
-    sq = jnp.square(x)
-    half_lo = (local_size - 1) // 2
+    cdim = x.shape[-1]
+    a = alpha / local_size
     half_hi = local_size // 2
-    # sum over channel window via padded cumulative trick
-    pad = jnp.pad(sq, ((0, 0), (0, 0), (0, 0), (half_lo, half_hi)))
-    csum = jnp.cumsum(pad, axis=-1)
-    csum = jnp.pad(csum, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    c = x.shape[-1]
-    win = (
-        csum[..., local_size : local_size + c] - csum[..., 0:c]
-    )  # sum over [c-half_lo, c+half_hi]
-    norm = k + (alpha / local_size) * win
-    return x * jnp.power(norm, -beta)
+    half_lo = (local_size - 1) // 2
+    sq = jnp.square(x)
+    norm = [None] * cdim
+    cur = k + a * sum(
+        (sq[..., c2] for c2 in range(min(half_hi, cdim))),
+        start=jnp.zeros_like(sq[..., 0]),
+    )
+    norm[0] = cur
+    b_start = min(1 + half_lo, cdim - half_hi)
+    for c in range(1, b_start):
+        cur = norm[c - 1] + a * sq[..., c + half_hi]
+        norm[c] = cur
+    for c in range(max(1, b_start), cdim - half_hi):
+        cur = norm[c - 1] - a * sq[..., c - half_lo - 1] \
+            + a * sq[..., c + half_hi]
+        norm[c] = cur
+    for c in range(max(1, cdim - half_hi), cdim):
+        cur = norm[c - 1] - a * sq[..., c - half_lo - 1]
+        norm[c] = cur
+    stacked = jnp.stack(norm, axis=-1)
+    return x * jnp.power(stacked, -beta)

@@ -72,21 +72,22 @@ def test_depthwise_conv_matches_grouped():
     )
 
 
-def test_conv_transpose_shape_and_adjointness():
+@pytest.mark.parametrize("k,s,p", [(3, 2, 1), (3, 2, 0), (5, 1, 2), (2, 2, 0)])
+def test_conv_transpose_shape_and_adjointness(k, s, p):
     """Deconv output: s*(h-1)+k-2p (bcnn_deconv_layer.c:97-101); as the
     transpose of conv, <conv(x), y> == <x, deconv(y)>."""
     rng = np.random.RandomState(2)
-    k, s, p = 3, 2, 1
-    x = jnp.asarray(rng.randn(1, 5, 5, 4).astype(np.float32))  # deconv input
+    hi = 5
+    out = s * (hi - 1) + k - 2 * p
+    x = jnp.asarray(rng.randn(1, hi, hi, 4).astype(np.float32))
     # w is the HWIO kernel of the *forward* conv being transposed:
     # I = deconv output channels (2), O = deconv input channels (4)
     w = jnp.asarray(rng.randn(k, k, 2, 4).astype(np.float32))
-    # Forward conv maps (N,9,9,2)->(N,5,5,4); deconv transposes it,
-    # mapping 5 -> 2*(5-1)+3-2*1 = 9.
     y = ops.conv2d_transpose(x, w, s, p)
-    assert y.shape == (1, 9, 9, 2)
-    z = jnp.asarray(rng.randn(1, 9, 9, 2).astype(np.float32))
+    assert y.shape == (1, out, out, 2)
+    z = jnp.asarray(rng.randn(1, out, out, 2).astype(np.float32))
     conv_z = ops.conv2d(z, w, s, p)
+    assert conv_z.shape == x.shape
     lhs = jnp.sum(conv_z * x)
     rhs = jnp.sum(z * y)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
