@@ -1,0 +1,187 @@
+"""Training-trajectory parity: run the reference's own bcnn-cl binary and
+this framework's CLI on the SAME conf, SAME initial weights, SAME data (no
+augmentation, sequential MNIST-format stream) and compare the reported
+train-error trajectory. This exercises the full loop end-to-end: loader ->
+forward -> backward -> SGD update -> loss, across implementations."""
+
+import os
+import re
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.test_reference_parity import BUILD, REF
+
+BCNN_CL = os.path.join(BUILD, "bin", "bcnn-cl")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF) or shutil.which("cmake") is None,
+    reason="reference tree or toolchain unavailable",
+)
+
+CONF = """
+[net]
+data_format=mnist
+source_train={img}
+label_train={lbl}
+input_model={init}
+output_model={out}
+eval_test=0
+eval_period=10
+save_model=100000
+num_pred=16
+max_batches=51
+input_width=28
+input_height=28
+input_channels=1
+batch_size=16
+optimizer=sgd
+momentum=0.9
+decay=0.0005
+learning_rate=0.05
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+init=xavier
+activation=relu
+src=input
+dst=c1
+
+[maxpool]
+size=2
+stride=2
+src=c1
+dst=p1
+
+[connected]
+output=10
+init=xavier
+src=p1
+dst=fc
+
+[softmax]
+src=fc
+dst=soft
+
+[cost]
+src=soft
+dst=out
+loss=euclidean
+metric=error
+"""
+
+
+@pytest.fixture(scope="module")
+def ref_cl():
+    if not os.path.exists(BCNN_CL):
+        os.makedirs(BUILD, exist_ok=True)
+        subprocess.run(
+            ["cmake", REF, "-DCMAKE_BUILD_TYPE=Release"],
+            cwd=BUILD, check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["make", "-j8", "bcnn-cl"], cwd=BUILD, check=True,
+            capture_output=True,
+        )
+    return BCNN_CL
+
+
+def write_mnist_files(tmp_path, n=256, hw=28, seed=0):
+    """Hard enough that the error decays over the whole run rather than
+    saturating after one eval window."""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 10, n).astype(np.uint8)
+    imgs = (rng.rand(n, hw, hw) * 180).astype(np.uint8)
+    for i, c in enumerate(labels):
+        r, col = divmod(int(c), 4)
+        imgs[i, 2 + r * 8 : 8 + r * 8, 2 + col * 6 : 8 + col * 6] = np.minimum(
+            imgs[i, 2 + r * 8 : 8 + r * 8, 2 + col * 6 : 8 + col * 6] + 70,
+            255,
+        ).astype(np.uint8)
+    pimg = tmp_path / "train-images.idx3-ubyte"
+    plbl = tmp_path / "train-labels.idx1-ubyte"
+    with open(pimg, "wb") as f:
+        f.write(struct.pack(">4i", 0x803, n, hw, hw))
+        imgs.tofile(f)
+    with open(plbl, "wb") as f:
+        f.write(struct.pack(">2i", 0x801, n))
+        labels.tofile(f)
+    return str(pimg), str(plbl)
+
+
+def parse_train_errors(text):
+    return [
+        float(m) for m in re.findall(r"train-error=\s*([0-9.eE+-]+)", text)
+    ]
+
+
+def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
+    img, lbl = write_mnist_files(tmp_path)
+
+    # identical initial weights, written by this framework
+    from bcnn_tpu import Mode, Net, Session
+    from bcnn_tpu.config import load_net
+    from bcnn_tpu.serialization import save_weights
+
+    init_w = str(tmp_path / "init.bcnnmodel")
+    conf0 = tmp_path / "init.conf"
+    conf0.write_text(
+        CONF.format(img=img, lbl=lbl, init="", out="x").replace(
+            "input_model=\n", ""
+        )
+    )
+    net0 = Net(Mode.TRAIN)
+    load_net(net0, str(conf0))
+    s0 = Session(net0, seed=0).compile_net()
+    save_weights(
+        net0,
+        {k: np.asarray(v) for k, v in s0.params.items()},
+        {k: np.asarray(v) for k, v in s0.state.items()},
+        init_w,
+    )
+
+    conf = tmp_path / "train.conf"
+    conf.write_text(
+        CONF.format(
+            img=img, lbl=lbl, init=init_w, out=str(tmp_path / "ref_out")
+        )
+    )
+
+    # reference run
+    r = subprocess.run(
+        [ref_cl, "train", str(conf)],
+        capture_output=True, text=True, cwd=tmp_path,
+    )
+    ref_errors = parse_train_errors(r.stderr)
+    assert len(ref_errors) >= 5, r.stderr[-800:]
+
+    # our run (same conf)
+    import contextlib
+    import io
+
+    from bcnn_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        assert main(["train", str(conf)]) == 0
+    mine_errors = parse_train_errors(buf.getvalue())
+    assert len(mine_errors) == len(ref_errors), (mine_errors, ref_errors)
+
+    # error counts over eval_period*batch samples; allow small fp drift to
+    # flip a couple of argmax decisions late in training
+    ref_e = np.array(ref_errors)
+    mine_e = np.array(mine_errors)
+    np.testing.assert_allclose(
+        mine_e[:2], ref_e[:2], atol=1e-6,
+        err_msg="early trajectory must match exactly",
+    )
+    np.testing.assert_allclose(
+        mine_e, ref_e, atol=0.02,
+        err_msg=f"trajectories diverged: {mine_e} vs {ref_e}",
+    )
