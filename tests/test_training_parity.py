@@ -121,7 +121,7 @@ def parse_train_errors(text):
     ]
 
 
-def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
+def _run_both(ref_cl, tmp_path, conf_text):
     img, lbl = write_mnist_files(tmp_path)
 
     # identical initial weights, written by this framework
@@ -132,7 +132,7 @@ def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
     init_w = str(tmp_path / "init.bcnnmodel")
     conf0 = tmp_path / "init.conf"
     conf0.write_text(
-        CONF.format(img=img, lbl=lbl, init="", out="x").replace(
+        conf_text.format(img=img, lbl=lbl, init="", out="x").replace(
             "input_model=\n", ""
         )
     )
@@ -148,7 +148,7 @@ def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
 
     conf = tmp_path / "train.conf"
     conf.write_text(
-        CONF.format(
+        conf_text.format(
             img=img, lbl=lbl, init=init_w, out=str(tmp_path / "ref_out")
         )
     )
@@ -172,11 +172,12 @@ def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
         assert main(["train", str(conf)]) == 0
     mine_errors = parse_train_errors(buf.getvalue())
     assert len(mine_errors) == len(ref_errors), (mine_errors, ref_errors)
+    return np.array(ref_errors), np.array(mine_errors)
 
+
+def _check_trajectories(ref_e, mine_e):
     # error counts over eval_period*batch samples; allow small fp drift to
     # flip a couple of argmax decisions late in training
-    ref_e = np.array(ref_errors)
-    mine_e = np.array(mine_errors)
     np.testing.assert_allclose(
         mine_e[:2], ref_e[:2], atol=1e-6,
         err_msg="early trajectory must match exactly",
@@ -185,3 +186,17 @@ def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
         mine_e, ref_e, atol=0.02,
         err_msg=f"trajectories diverged: {mine_e} vs {ref_e}",
     )
+    assert ref_e[0] > 0.3, "task saturated; trajectory not informative"
+
+
+def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
+    ref_e, mine_e = _run_both(ref_cl, tmp_path, CONF)
+    _check_trajectories(ref_e, mine_e)
+
+
+def test_adam_training_trajectory_matches_reference(ref_cl, tmp_path):
+    conf = CONF.replace("optimizer=sgd", "optimizer=adam").replace(
+        "learning_rate=0.05", "learning_rate=0.003\nbeta1=0.9\nbeta2=0.999"
+    )
+    ref_e, mine_e = _run_both(ref_cl, tmp_path, conf)
+    _check_trajectories(ref_e, mine_e)
