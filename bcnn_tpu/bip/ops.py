@@ -215,6 +215,88 @@ def perlin_distortion(
     return out
 
 
+def image_integral(src: np.ndarray) -> np.ndarray:
+    """bip_image_integral (bip.c:528-556): (h+1, w+1) uint32 summed-area
+    table with a zero first row/column. src: HW or HWC with c==1."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    h, w = src.shape
+    out = np.zeros((h + 1, w + 1), np.uint32)
+    np.cumsum(
+        np.cumsum(src.astype(np.uint32), axis=0), axis=1, out=out[1:, 1:]
+    )
+    return out
+
+
+def image_sobel(src: np.ndarray) -> np.ndarray:
+    """Sobel gradient magnitude (bip's CV extras; 3x3 kernels, |gx|+|gy|
+    clamped to uint8). src: HW or HW1 uint8 -> same-shape uint8, zero
+    border."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[:, :, 0]
+    s = src.astype(np.int32)
+    gx = np.zeros_like(s)
+    gy = np.zeros_like(s)
+    gx[1:-1, 1:-1] = (
+        (s[:-2, 2:] + 2 * s[1:-1, 2:] + s[2:, 2:])
+        - (s[:-2, :-2] + 2 * s[1:-1, :-2] + s[2:, :-2])
+    )
+    gy[1:-1, 1:-1] = (
+        (s[2:, :-2] + 2 * s[2:, 1:-1] + s[2:, 2:])
+        - (s[:-2, :-2] + 2 * s[:-2, 1:-1] + s[:-2, 2:])
+    )
+    mag = np.clip(np.abs(gx) + np.abs(gy), 0, 255).astype(np.uint8)
+    return mag[:, :, None] if squeeze else mag
+
+
+def otsu_threshold(src: np.ndarray) -> int:
+    """Otsu's threshold (bip_otsu, bip.c:1034): maximizes between-class
+    variance of the grayscale histogram; returns the threshold value."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    hist = np.bincount(src.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    w0 = np.cumsum(hist)
+    m = np.cumsum(hist * np.arange(256))
+    mu_t = m[-1]
+    w1 = total - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        between = (mu_t * w0 - m) ** 2 / (w0 * w1)
+    between[~np.isfinite(between)] = 0.0
+    return int(np.argmax(between))
+
+
+def pyramid_down(src: np.ndarray) -> np.ndarray:
+    """bip_pyramid_down (bip.c:352-383): 2x2 box downsample with +2 >> 2
+    rounding (odd tails averaged in pairs)."""
+    if src.ndim == 3:
+        c1 = src.shape[2] == 1
+        src2 = src[:, :, 0]
+    else:
+        c1, src2 = False, src
+    h, w = src2.shape
+    eh, ew = h - (h % 2), w - (w % 2)
+    s = src2.astype(np.uint32)
+    core = (
+        s[0:eh:2, 0:ew:2] + s[0:eh:2, 1:ew:2]
+        + s[1:eh:2, 0:ew:2] + s[1:eh:2, 1:ew:2] + 2
+    ) >> 2
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    out = np.zeros((oh, ow), np.uint32)
+    out[: eh // 2, : ew // 2] = core
+    if w % 2:
+        col = (s[0:eh:2, w - 1] + s[1:eh:2, w - 1] + 1) >> 1
+        out[: eh // 2, ow - 1] = col
+    if h % 2:
+        row = (s[h - 1, 0:ew:2] + s[h - 1, 1:ew:2] + 1) >> 1
+        out[oh - 1, : ew // 2] = row
+    if h % 2 and w % 2:
+        out[oh - 1, ow - 1] = s[h - 1, w - 1]
+    out = out.astype(np.uint8)
+    return out[:, :, None] if c1 else out
+
+
 def add_random_spotlights(
     src: np.ndarray,
     num_spots: int,
