@@ -147,19 +147,41 @@ class _Executor:
         y = ops.apply_activation(y, act, slopes)
         return y
 
+    def _quant_entry(self, node: Node):
+        """int8 PTQ lookup for this node (PREDICT only; see ops/quant.py)."""
+        quant = getattr(self.net, "quant", None)
+        if not quant or self.mode != Mode.PREDICT:
+            return None
+        key = self.net.tensors[node.src[1]].key
+        wq = quant["weights"].get(key)
+        sx = quant["act_scales"].get(node.src[0])
+        if wq is None or sx is None:
+            return None
+        return wq, sx
+
     def _conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
-        w = self.p(node.src[1])
-        y = ops.conv2d(
-            x,
-            w,
-            p["stride"],
-            p["pad"],
-            p["num_groups"],
-            self.compute_dtype,
-            self.act_dtype,
-        )
+        q = self._quant_entry(node)
+        if q is not None:
+            from .ops.quant import conv2d_int8, quantize_tensor
+
+            wq, sx = q
+            y = conv2d_int8(
+                quantize_tensor(x, sx), wq["q"], sx, wq["scale"],
+                p["stride"], p["pad"], p["num_groups"],
+            )
+        else:
+            w = self.p(node.src[1])
+            y = ops.conv2d(
+                x,
+                w,
+                p["stride"],
+                p["pad"],
+                p["num_groups"],
+                self.compute_dtype,
+                self.act_dtype,
+            )
         extra = {"mean": 3, "var": 4, "scales": 5}
         extra["slopes"] = 6 if p.get("batch_norm") else 3
         y = self._apply_conv_epilogue(node, y, rng, node.src[2], extra)
@@ -192,9 +214,22 @@ class _Executor:
     def _full_connected(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
-        y = ops.full_connected(
-            x, self.p(node.src[1]), self.p(node.src[2]), self.compute_dtype
-        )
+        q = self._quant_entry(node)
+        if q is not None:
+            from .ops.quant import fc_int8, quantize_tensor
+
+            wq, sx = q
+            n = x.shape[0]
+            if x.ndim == 4:
+                x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW flatten order
+            xf = x.reshape(n, -1)
+            y = fc_int8(quantize_tensor(xf, sx), wq["q"], sx, wq["scale"])
+            y = (y + self.p(node.src[2])).reshape(n, 1, 1, -1)
+        else:
+            y = ops.full_connected(
+                x, self.p(node.src[1]), self.p(node.src[2]),
+                self.compute_dtype,
+            )
         y = ops.apply_activation(y, p["activation"])
         self.values[node.dst[0]] = y
 

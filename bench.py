@@ -35,10 +35,25 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     runs = int(os.environ.get("BENCH_RUNS", "20"))
-    mode = os.environ.get("BENCH_MODE", "forward")  # forward | detect
+    mode = os.environ.get("BENCH_MODE", "forward")  # forward|detect|int8
     net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
     sess = Session(net, seed=0).compile_net()
+    if mode == "int8":
+        from bcnn_tpu.ops.quant import calibrate, quantize_weights
+
+        # sane BN stats for the random net, then PTQ calibration
+        for k in list(sess.state):
+            if "run_var" in k:
+                sess.state[k] = jnp.ones_like(sess.state[k])
+        calib = np.random.RandomState(1).rand(4, 3, 416, 416).astype(
+            np.float32
+        )
+        scales = calibrate(net, sess.params, sess.state, [calib])
+        net.quant = {
+            "act_scales": scales,
+            "weights": quantize_weights(net, sess.params),
+        }
     out_idx = [
         net.get_tensor_index_by_name("lid17"),
         net.get_tensor_index_by_name("lid24"),
@@ -118,11 +133,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": (
-                    "yolov3_tiny_416_detect"
-                    if mode == "detect"
-                    else "yolov3_tiny_416_inference"
-                ),
+                "metric": {
+                    "detect": "yolov3_tiny_416_detect",
+                    "int8": "yolov3_tiny_416_int8",
+                }.get(mode, "yolov3_tiny_416_inference"),
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / TARGET_IMG_S, 3),

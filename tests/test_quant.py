@@ -1,0 +1,56 @@
+"""int8 post-training quantization: accuracy vs fp32 and plumbing."""
+
+import numpy as np
+import pytest
+
+from bcnn_tpu import Mode, Session
+from bcnn_tpu.models import lenet_mnist, yolov3_tiny
+from bcnn_tpu.ops.quant import calibrate, quantize_weights
+
+
+def test_int8_forward_close_to_fp32():
+    net = lenet_mnist(batch_size=8, mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(0)
+    calib = [rng.randn(8, 1, 28, 28).astype(np.float32) for _ in range(3)]
+    x = rng.randn(8, 1, 28, 28).astype(np.float32)
+
+    (ref,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+    ref = np.asarray(ref).reshape(8, 10)
+
+    scales = calibrate(net, sess.params, sess.state, calib)
+    qw = quantize_weights(net, sess.params)
+    assert len(qw) == 4  # 2 conv + 2 fc
+    net.quant = {"act_scales": scales, "weights": qw}
+    sess._forward_cache = {}  # force retrace with the quant path
+    (got,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+    got = np.asarray(got).reshape(8, 10)
+
+    # top-1 agreement and close probabilities
+    assert (got.argmax(1) == ref.argmax(1)).mean() >= 0.9
+    assert np.abs(got - ref).max() < 0.1
+
+
+def test_int8_yolo_head_decode_consistent():
+    net = yolov3_tiny(batch_size=1, width=128, height=128, classes=4,
+                      mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(1)
+    # untrained running stats are zeros; var=0 turns BN into a 1000x gain
+    # per layer, which isn't a meaningful quantization test — use unit vars
+    import jax.numpy as jnp
+
+    for k in list(sess.state):
+        if "run_var" in k:
+            sess.state[k] = jnp.ones_like(sess.state[k])
+    x = rng.randn(1, 3, 128, 128).astype(np.float32)
+    (ref,), _ = sess.predict_on_batch(x, outputs=["lid17"])
+    scales = calibrate(net, sess.params, sess.state, [x])
+    net.quant = {
+        "act_scales": scales,
+        "weights": quantize_weights(net, sess.params),
+    }
+    sess._forward_cache = {}
+    (got,), _ = sess.predict_on_batch(x, outputs=["lid17"])
+    # head outputs are mostly post-sigmoid; int8 keeps them close
+    assert np.abs(np.asarray(got) - np.asarray(ref)).mean() < 0.05
