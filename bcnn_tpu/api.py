@@ -142,7 +142,8 @@ class Session:
         mode = self.net.mode if self.net.mode != Mode.TRAIN else Mode.VALID
         if outputs is None:
             outputs = [self._default_output_name()]
-        key = (tuple(outputs), mode)
+        # id(net.quant) keys the cache so enabling/disabling int8 retraces
+        key = (tuple(outputs), mode, id(getattr(self.net, "quant", None)))
         if key not in self._forward_cache:
             self._forward_cache[key] = _make_predict(self.net, outputs, mode)
         batch = {"input": jnp.asarray(x, jnp.float32)}
