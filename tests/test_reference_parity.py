@@ -31,27 +31,30 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def harness():
-    if not os.path.exists(os.path.join(BUILD, "lib", "libbcnn.a")):
-        os.makedirs(BUILD, exist_ok=True)
-        subprocess.run(
-            ["cmake", REF, "-DCMAKE_BUILD_TYPE=Release"],
-            cwd=BUILD, check=True, capture_output=True,
-        )
-        subprocess.run(
-            ["make", "-j8", "bcnn"], cwd=BUILD, check=True,
-            capture_output=True,
-        )
-    if not os.path.exists(HARNESS_BIN):
-        subprocess.run(
-            [
-                "cc", "-O2", HARNESS_SRC,
-                f"-I{REF}/inc", f"-I{REF}/src/bip/inc",
-                f"-L{BUILD}/lib", "-o", HARNESS_BIN,
-                f"{BUILD}/lib/libbcnn.a", f"{BUILD}/lib/libbip.a",
-                "-lm", "-fopenmp", "-lstdc++",
-            ],
-            check=True, capture_output=True,
-        )
+    try:
+        if not os.path.exists(os.path.join(BUILD, "lib", "libbcnn.a")):
+            os.makedirs(BUILD, exist_ok=True)
+            subprocess.run(
+                ["cmake", REF, "-DCMAKE_BUILD_TYPE=Release"],
+                cwd=BUILD, check=True, capture_output=True,
+            )
+            subprocess.run(
+                ["make", "-j8", "bcnn"], cwd=BUILD, check=True,
+                capture_output=True,
+            )
+        if not os.path.exists(HARNESS_BIN):
+            subprocess.run(
+                [
+                    "cc", "-O2", HARNESS_SRC,
+                    f"-I{REF}/inc", f"-I{REF}/src/bip/inc",
+                    f"-L{BUILD}/lib", "-o", HARNESS_BIN,
+                    f"{BUILD}/lib/libbcnn.a", f"{BUILD}/lib/libbip.a",
+                    "-lm", "-fopenmp", "-lstdc++",
+                ],
+                check=True, capture_output=True,
+            )
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"reference build failed: {e}")
     return HARNESS_BIN
 
 
