@@ -30,9 +30,15 @@ from .types import Mode
 
 
 class Session:
-    def __init__(self, net: Net, seed: int = 0):
+    """Stateful net handle. Pass `mesh` (a jax.sharding.Mesh, e.g. from
+    parallel.make_mesh()) to train data-parallel: params replicate, batches
+    shard on their leading axis, and the train step runs under GSPMD —
+    numerically identical to single-device (global-batch-sum loss)."""
+
+    def __init__(self, net: Net, seed: int = 0, mesh=None):
         self.net = net
         self.seed = seed
+        self.mesh = mesh
         self.params: Dict[str, jax.Array] = {}
         self.state: Dict[str, jax.Array] = {}
         self.opt_state = None
@@ -68,6 +74,13 @@ class Session:
             from .learner import init_opt_state
 
             self.opt_state = init_opt_state(self.net, self.params)
+        if self.mesh is not None:
+            from .parallel import replicate
+
+            self.params = replicate(self.mesh, self.params)
+            self.state = replicate(self.mesh, self.state)
+            if self.opt_state is not None:
+                self.opt_state = replicate(self.mesh, self.opt_state)
         self._train_step = None
         self._forward_cache = {}
         return self
@@ -116,12 +129,25 @@ class Session:
         if x is None:
             x, label = self.loader.next_batch()
         if self._train_step is None:
-            self._train_step = make_train_step(self.net)
+            if self.mesh is not None:
+                from .parallel import make_dp_train_step
+
+                self._train_step = make_dp_train_step(self.net, self.mesh)
+            else:
+                self._train_step = make_train_step(self.net)
         self._rng, sub = jax.random.split(self._rng)
         batch = {
             "input": jnp.asarray(x, jnp.float32),
             "label": jnp.asarray(label, jnp.float32),
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel import shard_batch
+
+            batch = shard_batch(self.mesh, batch)
+            sub = jax.device_put(
+                sub, NamedSharding(self.mesh, PartitionSpec())
+            )
         self.params, self.state, self.opt_state, loss = self._train_step(
             self.params, self.state, self.opt_state, batch, sub
         )

@@ -96,6 +96,29 @@ def test_spatial_forward_matches_single_device(mesh8):
     )
 
 
+def test_session_mesh_integration(mesh8):
+    """Session(net, mesh=...) trains DP transparently and matches the
+    explicit single-device Session."""
+    rng = np.random.RandomState(5)
+    x, y = _batch(rng, 16)
+
+    s1 = Session(lenet_mnist(16), seed=0).compile_net()
+    s8 = Session(lenet_mnist(16), seed=0, mesh=mesh8).compile_net()
+    s8._rng = s1._rng
+    l1 = float(s1.train_on_batch(x, y))
+    l8 = float(s8.train_on_batch(x, y))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for k in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[k]), np.asarray(s8.params[k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+    # predict path still works on the replicated params
+    s8.net.set_mode(Mode.VALID)
+    _, err = s8.predict_on_batch(x, y)
+    assert np.isfinite(float(err))
+
+
 def test_dp_multiple_steps_converge(mesh8):
     batch = 32
     net = lenet_mnist(batch)
