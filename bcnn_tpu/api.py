@@ -324,7 +324,10 @@ class Session:
 
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform not in ("cpu",)
-        key = ("detect", thresh, max_dets, use_pallas)
+        key = (
+            "detect", thresh, max_dets, use_pallas,
+            id(getattr(self.net, "quant", None)),
+        )
         if key not in self._forward_cache:
             net = self.net
             yolo_nodes = [
