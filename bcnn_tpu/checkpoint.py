@@ -57,6 +57,48 @@ def save_checkpoint(path: str, params, state, opt_state, extra=None):
     np.savez(path, **flat)
 
 
+def save_checkpoint_orbax(path: str, params, state, opt_state, extra=None):
+    """Orbax-backed checkpoint (async-capable, sharded-array aware): the
+    right backend for multi-host meshes where a single-host .npz would
+    have to gather. `path` must be a directory."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {
+        "params": params,
+        "state": state,
+        "opt": opt_state or {},
+        "extra_json": np.frombuffer(
+            json.dumps(dict(version=FORMAT_VERSION, extra=extra or {})).encode(),
+            dtype=np.uint8,
+        ).copy(),
+    }
+    import os
+
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    meta = json.loads(bytes(np.asarray(tree["extra_json"]).tobytes()).decode())
+    opt = tree.get("opt") or {}
+    if opt:
+        for k in ("velocity", "adam_m", "adam_v"):
+            opt.setdefault(k, {})
+    return (
+        tree["params"],
+        tree["state"],
+        opt,
+        meta.get("extra", {}),
+    )
+
+
 def load_checkpoint(path: str) -> Tuple[Dict, Dict, Dict, Dict]:
     """Returns (params, state, opt_state, extra) as jnp arrays."""
     with np.load(path, allow_pickle=False) as z:

@@ -3,6 +3,7 @@ identically after resume (unlike the reference, which loses optimizer
 state, SURVEY.md §5)."""
 
 import numpy as np
+import pytest
 
 from bcnn_tpu import Mode, Session
 from bcnn_tpu.models import lenet_mnist
@@ -44,6 +45,29 @@ def test_checkpoint_resume_bitexact(tmp_path):
             rtol=1e-6, atol=1e-7, err_msg=k,
         )
     assert int(s1.opt_state["seen"]) == int(s2.opt_state["seen"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from bcnn_tpu.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax,
+    )
+
+    s = Session(lenet_mnist(8), seed=0).compile_net()
+    x, y = batch(np.random.RandomState(2), 8)
+    s.train_on_batch(x, y)
+    p = str(tmp_path / "ckpt_dir")
+    save_checkpoint_orbax(
+        p, s.params, s.state, s.opt_state, extra={"step_count": 1}
+    )
+    params, state, opt, extra = load_checkpoint_orbax(p)
+    assert extra["step_count"] == 1
+    for k in s.params:
+        np.testing.assert_allclose(
+            np.asarray(params[k]), np.asarray(s.params[k]), rtol=1e-6
+        )
+    assert int(np.asarray(opt["seen"])) == 8
+
 
 
 def test_checkpoint_keeps_opt_state(tmp_path):
