@@ -197,6 +197,152 @@ def test_sgd_training_trajectory_matches_reference(ref_cl, tmp_path):
     _check_trajectories(ref_e, mine_e)
 
 
+YOLO_CONF = """
+[net]
+data_format=detection
+source_train={img}
+input_model={init}
+output_model={out}
+eval_test=0
+eval_period=5
+save_model=100000
+num_pred=4
+max_batches=26
+input_width=64
+input_height=64
+input_channels=3
+batch_size=4
+optimizer=sgd
+momentum=0.9
+decay=0.0005
+learning_rate=0.00005
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+bn=1
+activation=lrelu
+src=input
+dst=c1
+
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=lrelu
+src=c1
+dst=c2
+
+[convolutional]
+filters=21
+size=1
+stride=1
+pad=0
+activation=none
+src=c2
+dst=head
+
+[yolo]
+classes=2
+num=6
+mask=3,4,5
+anchors=10,14,23,27,37,58,81,82,135,169,344,319
+src=head
+dst=out
+"""
+
+
+def write_detection_set(tmp_path, n=16, size=64, seed=0):
+    """Images exactly net-sized (letterbox placement becomes deterministic,
+    dx == dy == 0 in both implementations) with one box each."""
+    from bcnn_tpu import bip
+
+    rng = np.random.RandomState(seed)
+    lines = []
+    for i in range(n):
+        img = (rng.rand(size, size, 3) * 120).astype(np.uint8)
+        cx, cy = rng.uniform(0.3, 0.7, 2)
+        bw, bh = rng.uniform(0.2, 0.4, 2)
+        x0 = int(max(0, (cx - bw / 2) * size))
+        x1 = int(min(size, (cx + bw / 2) * size))
+        y0 = int(max(0, (cy - bh / 2) * size))
+        y1 = int(min(size, (cy + bh / 2) * size))
+        img[y0:y1, x0:x1] = (230, 40 + 150 * (i % 2), 30)
+        p = tmp_path / f"det{i}.png"
+        bip.write_image(str(p), img)
+        lines.append(
+            f"{p} {i % 2} {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}"
+        )
+    lst = tmp_path / "det_list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    return str(lst)
+
+
+def test_yolo_training_trajectory_matches_reference(ref_cl, tmp_path):
+    """Detection training end-to-end: yolo deltas, loss (sum delta^2), and
+    the detection letterbox loader all match the reference binary. The
+    yolo loss is a continuous value, so exact float agreement over 25
+    steps is strong evidence."""
+    lst = write_detection_set(tmp_path)
+
+    from bcnn_tpu import Mode, Net, Session
+    from bcnn_tpu.config import load_net
+    from bcnn_tpu.serialization import save_weights
+
+    init_w = str(tmp_path / "yinit.bcnnmodel")
+    conf0 = tmp_path / "y0.conf"
+    conf0.write_text(
+        YOLO_CONF.format(img=lst, init="", out="x").replace(
+            "input_model=\n", ""
+        )
+    )
+    net0 = Net(Mode.TRAIN)
+    load_net(net0, str(conf0))
+    s0 = Session(net0, seed=0).compile_net()
+    # non-degenerate BN running stats
+    for k in list(s0.state):
+        if "run_var" in k:
+            s0.state[k] = np.ones_like(np.asarray(s0.state[k]))
+    save_weights(
+        net0,
+        {k: np.asarray(v) for k, v in s0.params.items()},
+        {k: np.asarray(v) for k, v in s0.state.items()},
+        init_w,
+    )
+
+    conf = tmp_path / "y.conf"
+    conf.write_text(
+        YOLO_CONF.format(img=lst, init=init_w, out=str(tmp_path / "yout"))
+    )
+
+    r = subprocess.run(
+        [ref_cl, "train", str(conf)],
+        capture_output=True, text=True, cwd=tmp_path,
+    )
+    ref_errors = parse_train_errors(r.stderr)
+    assert len(ref_errors) >= 5, r.stderr[-1000:]
+
+    import contextlib
+    import io
+
+    from bcnn_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        assert main(["train", str(conf)]) == 0
+    mine_errors = parse_train_errors(buf.getvalue())
+    assert len(mine_errors) == len(ref_errors)
+    ref_e, mine_e = np.array(ref_errors), np.array(mine_errors)
+    assert ref_e[0] > 0, "degenerate yolo loss"
+    np.testing.assert_allclose(
+        mine_e, ref_e, rtol=2e-2,
+        err_msg=f"yolo trajectories diverged: {mine_e} vs {ref_e}",
+    )
+
+
 def test_adam_training_trajectory_matches_reference(ref_cl, tmp_path):
     conf = CONF.replace("optimizer=sgd", "optimizer=adam").replace(
         "learning_rate=0.05", "learning_rate=0.003\nbeta1=0.9\nbeta2=0.999"
