@@ -55,7 +55,7 @@ def profile_forward(
             rng = jax.random.fold_in(jax.random.PRNGKey(0), i)
             t0 = time.perf_counter()
             getattr(ex, f"_{node.type.name.lower()}")(node, rng)
-            if node.dst:
+            if node.dst and node.dst[0] in ex.values:
                 jax.block_until_ready(ex.values[node.dst[0]])
             dt = (time.perf_counter() - t0) * 1e3
             best[i] = min(best.get(i, float("inf")), dt)
