@@ -419,20 +419,42 @@ def make_forward(net: Net, output_names, mode: Mode):
     return forward
 
 
-def make_train_step(net: Net, remat: Optional[bool] = None):
+def make_train_step(
+    net: Net,
+    remat: Optional[bool] = None,
+    device_augment: Optional[dict] = None,
+):
     """One bcnn_train_on_batch equivalent (bcnn_net.c:452-463):
     forward -> backward (autodiff) -> update -> loss, as a single jitted,
     buffer-donating program.
 
     remat (or net.remat): rematerialize the forward during the backward
     pass (jax.checkpoint) — trades FLOPs for HBM, for activations that
-    don't fit (e.g. large-resolution detection training)."""
+    don't fit (e.g. large-resolution detection training).
+
+    device_augment (or net.device_augment): an Augmenter-style config dict
+    — the north-star "bip fuses into on-device preprocessing": the batch
+    arrives as raw uint8 pixels (NCHW) and flip/shift/scale/rotation/
+    contrast/brightness + [-1,1] normalization run inside this same jitted
+    step (data/device_augment.py), so the host only decodes files."""
     from .learner import apply_updates
 
     if remat is None:
         remat = bool(getattr(net, "remat", False))
+    if device_augment is None:
+        device_augment = getattr(net, "device_augment", None)
 
     def loss_fn(params, state, batch, rng):
+        if device_augment is not None:
+            from .data.device_augment import augment_batch_nchw
+
+            rng, akey = jax.random.split(rng)
+            batch = dict(
+                batch,
+                input=augment_batch_nchw(
+                    batch["input"], akey, device_augment
+                ),
+            )
         ex = execute(net, params, state, batch, Mode.TRAIN, rng)
         return ex.surrogate, (ex.state, get_loss(ex))
 
