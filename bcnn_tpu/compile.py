@@ -190,10 +190,21 @@ class _Executor:
     def _depthwise_conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
-        w = self.p(node.src[1])
-        y = ops.depthwise_conv2d(
-            x, w, p["stride"], p["pad"], self.compute_dtype, self.act_dtype
-        )
+        q = self._quant_entry(node)
+        if q is not None:
+            from .ops.quant import conv2d_int8, quantize_tensor
+
+            wq, sx = q
+            y = conv2d_int8(
+                quantize_tensor(x, sx), wq["q"], sx, wq["scale"],
+                p["stride"], p["pad"], groups=x.shape[-1],
+            )
+        else:
+            w = self.p(node.src[1])
+            y = ops.depthwise_conv2d(
+                x, w, p["stride"], p["pad"], self.compute_dtype,
+                self.act_dtype,
+            )
         # depthwise builder supports bias + activation (BN flag parsed but the
         # reference wires no BN tensors for it)
         y = y + self.p(node.src[2]).astype(y.dtype)

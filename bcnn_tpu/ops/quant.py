@@ -38,7 +38,7 @@ def quantize_weights(net, params) -> Dict[str, Dict]:
     "scale": fp32 per-channel}}."""
     out = {}
     for node in net.nodes:
-        if node.type == LayerType.CONV2D:
+        if node.type in (LayerType.CONV2D, LayerType.DEPTHWISE_CONV2D):
             key = net.tensors[node.src[1]].key
             w = np.asarray(params[key], np.float32)  # (k,k,I,O)
             amax = np.abs(w).max(axis=(0, 1, 2))
@@ -62,7 +62,11 @@ def calibrate(net, params, state, batches: List[np.ndarray]) -> Dict[int, float]
 
     watch = []
     for node in net.nodes:
-        if node.type in (LayerType.CONV2D, LayerType.FULL_CONNECTED):
+        if node.type in (
+            LayerType.CONV2D,
+            LayerType.DEPTHWISE_CONV2D,
+            LayerType.FULL_CONNECTED,
+        ):
             watch.append(node.src[0])
     watch = sorted(set(watch))
 

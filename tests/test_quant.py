@@ -31,6 +31,40 @@ def test_int8_forward_close_to_fp32():
     assert np.abs(got - ref).max() < 0.1
 
 
+def test_int8_depthwise_mobilenet_block():
+    from bcnn_tpu.models import mobilenet_v1
+
+    net = mobilenet_v1(batch_size=2, classes=10, mode=Mode.PREDICT,
+                       width_mult=0.25)
+    sess = Session(net, seed=0).compile_net()
+    import jax.numpy as jnp
+
+    for k in list(sess.state):
+        if "run_var" in k:
+            sess.state[k] = jnp.ones_like(sess.state[k])
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 3, 224, 224).astype(np.float32) * 2 - 1
+    (ref,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+    scales = calibrate(net, sess.params, sess.state, [x])
+    qw = quantize_weights(net, sess.params)
+    # all convs AND depthwise AND fc quantized
+    from bcnn_tpu.types import LayerType
+
+    n_q = sum(
+        1 for n in net.nodes
+        if n.type in (LayerType.CONV2D, LayerType.DEPTHWISE_CONV2D,
+                      LayerType.FULL_CONNECTED)
+    )
+    assert len(qw) == n_q
+    net.quant = {"act_scales": scales, "weights": qw}
+    sess._forward_cache = {}
+    (got,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+    ref_a = np.asarray(ref).reshape(2, -1)
+    got_a = np.asarray(got).reshape(2, -1)
+    assert (got_a.argmax(1) == ref_a.argmax(1)).all()
+    assert np.abs(got_a - ref_a).max() < 0.15
+
+
 def test_int8_yolo_head_decode_consistent():
     net = yolov3_tiny(batch_size=1, width=128, height=128, classes=4,
                       mode=Mode.PREDICT)
