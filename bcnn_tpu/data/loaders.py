@@ -45,6 +45,11 @@ class DataLoader:
         self._mode = Mode.TRAIN if self.f_train else Mode.PREDICT
         aug_dict = getattr(net, "data_aug", {}) or {}
         self.augmenter = Augmenter.from_dict(aug_dict)
+        # raw mode: skip host augmentation AND normalization, emitting raw
+        # pixel values [0,255] as float CHW — the feed for train steps with
+        # fused on-device augmentation (compile.make_train_step's
+        # device_augment / net.device_augment)
+        self.raw_mode = getattr(net, "device_augment", None) is not None
 
     # ---- stream selection (bcnn_switch_data_handles) ------------------- #
 
@@ -137,12 +142,14 @@ class DataLoader:
         return img
 
     def _augment(self, img: np.ndarray) -> np.ndarray:
-        if self._mode == Mode.TRAIN:
+        if self._mode == Mode.TRAIN and not self.raw_mode:
             return self.augmenter.apply(img)
         return img
 
     def _normalize(self, img: np.ndarray) -> np.ndarray:
         a = self.augmenter
+        if self.raw_mode:
+            return convert_img_to_float(img, 1.0, a.swap_to_bgr, 0, 0, 0)
         if a.no_input_norm:
             return convert_img_to_float(img, 1.0, a.swap_to_bgr, 0, 0, 0)
         mr = a.mean_r * 255.0 if a.mean_r else 127.5
@@ -214,7 +221,10 @@ class MnistLoader(DataLoader):
                 t0.w,
                 t0.h,
             )
-        x = convert_img_to_float(img)  # [-1, 1]
+        if self.raw_mode:
+            x = convert_img_to_float(img, 1.0, 0, 0, 0, 0)  # raw pixels
+        else:
+            x = convert_img_to_float(img)  # [-1, 1]
         y = np.zeros(max(1, self.net.tensors[1].size3d()), np.float32)
         y[int(lbl[0])] = 1.0
         return x, y

@@ -45,6 +45,26 @@ def test_train_with_fused_device_augmentation():
     assert np.mean(losses[-3:]) < 10
 
 
+def test_loader_raw_mode_feeds_fused_augmentation(tmp_path):
+    """Full integration: MNIST loader in raw mode -> Session.train_on_batch
+    with net.device_augment — host does file IO only."""
+    from bcnn_tpu import LoaderType
+    from tests.test_data import write_mnist
+
+    pimg, plbl, _, _ = write_mnist(tmp_path, n=64)
+    net = lenet_mnist(batch_size=16)
+    net.set_sgd_optimizer(0.02, 0.9)
+    net.device_augment = dict(range_shift_x=3, range_shift_y=3)
+    sess = Session(net, seed=0)
+    sess.set_data_loader(LoaderType.MNIST, pimg, plbl)
+    assert sess.loader.raw_mode
+    sess.compile_net()
+    x, _ = sess.loader.next_batch()
+    assert x.max() > 2.0, "raw mode must emit pixel-range values"
+    losses = [float(sess.train_on_batch()) for _ in range(12)]
+    assert losses[-1] <= losses[0]
+
+
 def test_fused_augmentation_changes_views():
     """Same raw batch, different rng -> different augmented loss."""
     net = lenet_mnist(batch_size=8)
