@@ -10,7 +10,9 @@ backward kernels.
 """
 
 from .api import Session
+from .config import load_net
 from .graph import Learner, Net, Node, TensorKind, TensorSpec
+from .serialization import load_weights, save_weights
 from .types import (
     Activation,
     FillerType,
