@@ -249,6 +249,17 @@ stride=2
 src=c1
 dst=up
 
+# grouped conv: the reference's per-(batch,group) im2col+GEMM loop
+[conv]
+filters=8
+size=3
+stride=1
+pad=1
+num_groups=2
+activation=relu
+src=c1
+dst=gc
+
 [avgpool]
 src=add1
 dst=gap
@@ -264,7 +275,7 @@ def test_forward_parity_full_layer_zoo(harness, tmp_path):
     xfile = tmp_path / "x.raw"
     x.ravel().tofile(xfile)
     for tensor in ["dw", "c1", "n1", "d1", "mp", "cat", "add1", "up",
-                   "gap"]:
+                   "gc", "gap"]:
         out = tmp_path / f"ref_{tensor}.raw"
         r = subprocess.run(
             [harness, "forward", conf, weights, str(xfile), tensor,
