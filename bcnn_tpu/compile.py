@@ -89,7 +89,15 @@ class _Executor:
         self.values: Dict[int, jax.Array] = {}
         self.surrogate = jnp.zeros((), jnp.float32)
         self.metrics = []  # per cost node reported value
-        self.compute_dtype = getattr(net, "compute_dtype", None)
+        # reduced-precision MXU inputs are inference-only for now: the
+        # cast-inputs + fp32-preferred-output pattern has no valid conv
+        # transpose (JAX requires matching dtypes in the VJP), so training
+        # stays fp32 (which the optimizer-parity tests rely on anyway)
+        self.compute_dtype = (
+            getattr(net, "compute_dtype", None)
+            if mode == Mode.PREDICT
+            else None
+        )
         # opt-in (net.act_dtype): keep activations in a reduced dtype
         # between layers. Measured on v5e/axon this *hurts* yolov3-tiny
         # (bf16 relayout costs exceed the HBM savings: 198ms vs 37ms for

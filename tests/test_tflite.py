@@ -12,6 +12,53 @@ tf = pytest.importorskip("tensorflow")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
+def test_tflite_cli_conf_weights(tmp_path):
+    """The tool's CLI path: .conf + .bcnnmodel -> .tflite."""
+    from bcnn2tflite import main
+
+    from bcnn_tpu import Mode, Net, Session, save_weights
+    from bcnn_tpu.config import load_net
+
+    conf = tmp_path / "n.conf"
+    conf.write_text(
+        """
+[net]
+input_width=8
+input_height=8
+input_channels=3
+batch_size=1
+
+[conv]
+filters=4
+size=3
+stride=1
+pad=1
+activation=relu
+src=input
+dst=c1
+
+[softmax]
+src=c1
+dst=s
+"""
+    )
+    net = Net(Mode.PREDICT)
+    load_net(net, str(conf))
+    sess = Session(net, 0).compile_net()
+    w = tmp_path / "n.bcnnmodel"
+    save_weights(
+        net,
+        {k: np.asarray(v) for k, v in sess.params.items()},
+        {k: np.asarray(v) for k, v in sess.state.items()},
+        str(w),
+    )
+    out = tmp_path / "n.tflite"
+    assert main(["x", str(conf), str(w), str(out)]) == 0
+    assert out.stat().st_size > 500
+    interp = tf.lite.Interpreter(model_path=str(out))
+    interp.allocate_tensors()  # valid flatbuffer
+
+
 def test_tflite_export_matches_forward(tmp_path):
     from bcnn2tflite import convert_net
 
