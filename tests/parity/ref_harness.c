@@ -10,6 +10,9 @@
  *       same, then bcnn_yolo_get_detections (img dims == net dims, so the
  *       letterbox correction is identity) and dump detections as rows of
  *       [x y w h objectness prob...].
+ *   ref_harness resave <conf> <weights> <out.bcnnmodel> <unused>
+ *       load then bcnn_save_weights — produces a REFERENCE-written model
+ *       file for testing the other direction of format compatibility.
  *
  * This file is ours (it only *calls* the reference's public API).
  */
@@ -40,7 +43,10 @@ int main(int argc, char **argv) {
     }
     const char *mode = argv[1];
     bcnn_net *net = NULL;
-    bcnn_init_net(&net, BCNN_MODE_PREDICT);
+    /* resave must avoid the PREDICT-mode BN fold-at-load, else the written
+     * file holds folded scales over raw stats and double-folds on reload */
+    bcnn_init_net(&net, strcmp(mode, "resave") == 0 ? BCNN_MODE_TRAIN
+                                                    : BCNN_MODE_PREDICT);
     if (bcnn_load_net(net, argv[2], argv[3]) != BCNN_SUCCESS) {
         fprintf(stderr, "load_net failed\n");
         return 3;
@@ -48,6 +54,14 @@ int main(int argc, char **argv) {
     if (bcnn_compile_net(net) != BCNN_SUCCESS) {
         fprintf(stderr, "compile_net failed\n");
         return 3;
+    }
+    if (strcmp(mode, "resave") == 0) {
+        if (bcnn_save_weights(net, argv[4]) != BCNN_SUCCESS) {
+            fprintf(stderr, "save_weights failed\n");
+            return 5;
+        }
+        fprintf(stderr, "resaved to %s\n", argv[4]);
+        return 0;
     }
     long n_in = 0;
     float *input = read_blob(argv[4], &n_in);

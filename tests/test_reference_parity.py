@@ -294,6 +294,29 @@ def test_forward_parity_full_layer_zoo(harness, tmp_path):
         )
 
 
+def test_reference_written_model_loads(harness, tmp_path):
+    """Format compatibility in BOTH directions: every other parity test
+    already has the reference LOADING our .bcnnmodel files; here the
+    reference WRITES one (load ours -> bcnn_save_weights) and we load it
+    back — parameters must round-trip, and since the reference loaded in
+    PREDICT mode, its BN constants come back folded."""
+    conf, weights = build_and_save(CLASSIF_CONF, tmp_path, seed=11)
+    resaved = str(tmp_path / "ref_written.bcnnmodel")
+    r = subprocess.run(
+        [harness, "resave", conf, weights, resaved, "-"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(resaved) == os.path.getsize(weights)
+
+    x = np.random.RandomState(12).randn(1, 3, 16, 16).astype(np.float32)
+    (ours,), _, _ = run_mine_predict(conf, weights, x, ["soft"])
+    (theirs,), _, _ = run_mine_predict(conf, resaved, x, ["soft"])
+    np.testing.assert_allclose(
+        np.asarray(theirs), np.asarray(ours), rtol=1e-4, atol=1e-5
+    )
+
+
 DETECT_CONF = """
 [net]
 input_width=64
