@@ -108,15 +108,13 @@ def main():
 
     # warm up / compile
     x, _ = next(it)
-    sess.detect_on_batch(np.asarray(x), thresh=args.thresh)
+    sess.detect_on_batch(x, thresh=args.thresh)
 
     t0 = time.time()
     total_dets = 0
     for step in range(args.steps):
-        x, _ = next(it)
-        boxes, scores, obj = sess.detect_on_batch(
-            np.asarray(x), thresh=args.thresh
-        )
+        x, _ = next(it)  # already device-resident (BatchPipeline)
+        boxes, scores, obj = sess.detect_on_batch(x, thresh=args.thresh)
         total_dets += int((np.asarray(obj) > 0).sum())
     dt = time.time() - t0
     pipe.stop()
