@@ -157,4 +157,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit one parseable line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "yolov3_tiny_416_inference",
+                    "value": 0,
+                    "unit": "img/s/chip",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        raise
