@@ -134,6 +134,50 @@ def test_detection_loader_letterbox_labels(tmp_path):
     np.testing.assert_allclose(x[0, 0, 16, 16], (200 - 127.5) / 127.5)
 
 
+def test_classification_list_loader(tmp_path):
+    rng = np.random.RandomState(4)
+    lines = []
+    for i in range(4):
+        img = (rng.rand(20, 20, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"c{i}.png"
+        bip.write_image(str(p), img)
+        lines.append(f"{p} {i % 3}")
+    lst = tmp_path / "cl.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    net = make_net(16, 16, 3, batch=4, label=3)
+    net.mode = Mode.VALID  # center crop, no augmentation
+    from bcnn_tpu.data import ClassificationListLoader
+
+    loader = ClassificationListLoader(net, str(lst))
+    loader.set_mode(Mode.VALID)
+    x, y = loader.next_batch()
+    assert x.shape == (4, 3, 16, 16)
+    np.testing.assert_array_equal(np.argmax(y, 1), [0, 1, 2, 0])
+    # center crop of a 20x20 into 16x16 starts at offset 2
+    img0 = bip.load_image(str(tmp_path / "c0.png"))
+    want = (img0[2:18, 2:18].astype(np.float32) - 127.5) / 127.5
+    np.testing.assert_allclose(
+        x[0], np.transpose(want, (2, 0, 1)), atol=1e-6
+    )
+
+
+def test_regression_list_loader(tmp_path):
+    rng = np.random.RandomState(5)
+    img = (rng.rand(16, 16, 1) * 255).astype(np.uint8)
+    p = tmp_path / "r.png"
+    bip.write_image(str(p), img)
+    lst = tmp_path / "rl.txt"
+    lst.write_text(f"{p} 0.5 -1.25 3.0\n")
+    net = make_net(16, 16, 1, batch=1, label=3)
+    net.mode = Mode.VALID
+    from bcnn_tpu.data import RegressionListLoader
+
+    loader = RegressionListLoader(net, str(lst))
+    loader.set_mode(Mode.VALID)
+    x, y = loader.next_batch()
+    np.testing.assert_allclose(y[0], [0.5, -1.25, 3.0])
+
+
 def test_augmenter_order_and_determinism():
     rng_img = np.random.RandomState(3)
     img = (rng_img.rand(16, 16, 1) * 255).astype(np.uint8)
