@@ -77,6 +77,26 @@ def test_dp_train_step_matches_single_device(mesh8):
         )
 
 
+def test_dp_forward_matches_single_device(mesh8):
+    """Batch-sharded inference equals single-device inference."""
+    from bcnn_tpu import Mode
+    from bcnn_tpu.parallel import make_dp_forward, replicate, shard_batch
+
+    net = lenet_mnist(16, mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    x = np.random.RandomState(7).randn(16, 1, 28, 28).astype(np.float32)
+    (ref,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+
+    fwd = make_dp_forward(net, mesh8, ["softmax"], Mode.PREDICT)
+    p = replicate(mesh8, sess.params)
+    s = replicate(mesh8, sess.state)
+    batch = shard_batch(mesh8, {"input": x})
+    (got,) = fwd(p, s, batch)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_spatial_forward_matches_single_device(mesh8):
     """Height-sharded inference (halo exchange inserted by GSPMD) must
     equal the unsharded forward."""

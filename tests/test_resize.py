@@ -21,6 +21,20 @@ def test_resize_yolov3_tiny():
     assert np.asarray(out).shape == (1, 3 * 9, 10, 10)
 
 
+def test_resize_mobilenet_depthwise():
+    from bcnn_tpu.models import mobilenet_v1
+
+    net = mobilenet_v1(batch_size=1, classes=10, mode=Mode.PREDICT,
+                       width_mult=0.25)
+    net.resize(192, 192)
+    # stem s2 -> 96, then depthwise strides 1,2,1,2,1,2,1*5,2,1 -> 6x6
+    assert net.tensor("pw13").h == 6
+    sess = Session(net, 0).compile_net()
+    x = np.zeros((1, 3, 192, 192), np.float32)
+    (out,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+    assert np.asarray(out).size == 10
+
+
 def test_resize_rejects_fc_change():
     net = lenet_mnist(4)
     with pytest.raises(BuildError):
