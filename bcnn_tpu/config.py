@@ -51,7 +51,10 @@ _ACTIVATIONS = {
     "abs": Activation.ABS,
     "none": Activation.NONE,
     "linear": Activation.NONE,
-    "logistic": Activation.LOGISTIC,  # accepted here; reference warns+ReLU
+    # NB: "logistic" is NOT mapped — the reference's parser has no entry
+    # for it and falls back to ReLU with a warning (bcnn_net.c:889-916);
+    # replicated for config parity (verified by the randomized parity
+    # tests). Programmatic nets can still use Activation.LOGISTIC.
 }
 
 _METRICS = {

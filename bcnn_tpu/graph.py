@@ -568,6 +568,10 @@ class Net:
         gradients but are never stepped; only running stats change.
         """
         node = Node(type=LayerType.BATCHNORM)
+        if not self.nodes:
+            raise BuildError(
+                "Batchnorm layer can't be the first layer of the network"
+            )
         self._resolve_src(node, src_id, "Batchnorm layer")
         s = self._src(node)
         c = s.c
