@@ -43,6 +43,12 @@ def gen_conf(rng, depth=5):
             filters = int(rng.choice([4, 8, 6]))
             size = int(rng.choice([1, 3]))
             stride = int(rng.choice([1, 2])) if h >= 8 else 1
+            if size == 1:
+                # the REFERENCE is wrong for 1x1 stride!=1: it skips im2col
+                # for all size-1 convs (bcnn_conv_layer.c:445-447), valid
+                # only at stride 1 — so random graphs avoid that corner
+                # (we implement it correctly; see docs/PARITY.md)
+                stride = 1
             pad = size // 2
             bn = int(rng.rand() < 0.5)
             act = acts[rng.randint(len(acts))]
