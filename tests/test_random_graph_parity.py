@@ -17,10 +17,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def gen_conf(rng, depth=5):
+def gen_conf(rng, depth=6):
     """Random but always-valid bcnn-dialect config. Tracks shapes so pools
-    never underflow; sticks to the reference's well-defined subset."""
-    c, h, w = rng.choice([1, 3]), 16, 16
+    never underflow; sticks to the reference's well-defined subset
+    (documented reference bugs — 1x1 stride!=1 convs, fractional LRN
+    params, bn-first — are avoided, since we deliberately fix those)."""
+    c, h, w = int(rng.choice([1, 3])), 16, 16
     lines = [
         "[net]",
         f"input_width={w}",
@@ -32,27 +34,26 @@ def gen_conf(rng, depth=5):
     prev = "input"
     acts = ["relu", "lrelu", "tanh", "none", "logistic"]
     idx = 0
+    produced = []  # (name, c, h) for branch candidates
     for layer_i in range(depth):
-        # first layer: conv/dw only (the reference forbids bn/pool-ish
-        # layers as layer 0 or they'd read the unset input fallback)
+        # first layer: conv/dw only (the reference forbids other layers
+        # first or they'd read the unset input fallback)
         pool = ["conv", "dw"] if layer_i == 0 else [
-            "conv", "maxpool", "bn", "dw"
+            "conv", "maxpool", "bn", "dw", "act", "dropout", "deconv",
+            "concat", "eltwise",
         ]
         choice = rng.choice(pool)
+        dst = f"t{idx}"
         if choice == "conv":
             filters = int(rng.choice([4, 8, 6]))
             size = int(rng.choice([1, 3]))
             stride = int(rng.choice([1, 2])) if h >= 8 else 1
             if size == 1:
-                # the REFERENCE is wrong for 1x1 stride!=1: it skips im2col
-                # for all size-1 convs (bcnn_conv_layer.c:445-447), valid
-                # only at stride 1 — so random graphs avoid that corner
-                # (we implement it correctly; see docs/PARITY.md)
+                # reference bug: 1x1 stride!=1 skips im2col — avoided
                 stride = 1
             pad = size // 2
             bn = int(rng.rand() < 0.5)
             act = acts[rng.randint(len(acts))]
-            dst = f"t{idx}"
             lines += [
                 "[conv]", f"filters={filters}", f"size={size}",
                 f"stride={stride}", f"pad={pad}", f"bn={bn}",
@@ -64,14 +65,12 @@ def gen_conf(rng, depth=5):
             prev = dst
         elif choice == "dw":
             act = acts[rng.randint(len(acts))]
-            dst = f"t{idx}"
             lines += [
                 "[dw-conv]", "size=3", "stride=1", "pad=1",
                 f"activation={act}", f"src={prev}", f"dst={dst}", "",
             ]
             prev = dst
         elif choice == "maxpool" and h >= 4:
-            dst = f"t{idx}"
             pt = ["same", "valid"][rng.randint(2)]
             lines += [
                 "[maxpool]", "size=2", "stride=2",
@@ -81,9 +80,51 @@ def gen_conf(rng, depth=5):
             w = h
             prev = dst
         elif choice == "bn":
-            dst = f"t{idx}"
             lines += ["[bn]", f"src={prev}", f"dst={dst}", ""]
             prev = dst
+        elif choice == "act":
+            # in-place activation node. ONLY prelu: the reference
+            # SEGFAULTS on standalone non-PReLU activation layers (NULL
+            # slopes deref at bcnn_activation_layer.c:159-162) — even its
+            # own mnist_cl recipe crashes its own binary; see
+            # test_reference_segfaults_on_plain_activation
+            lines += ["[activation]", "function=prelu", f"src={prev}", ""]
+        elif choice == "dropout":
+            # identity in PREDICT mode, in-place
+            lines += ["[dropout]", "rate=0.5", f"src={prev}", ""]
+        elif choice == "deconv" and h <= 12:
+            filters = int(rng.choice([4, 6]))
+            act = acts[rng.randint(len(acts))]
+            # pad=0 only: the reference's padded deconv is inconsistent
+            lines += [
+                "[deconv]", f"filters={filters}", "size=3", "stride=1",
+                "pad=0", f"activation={act}", f"src={prev}",
+                f"dst={dst}", "",
+            ]
+            h = h + 2
+            w = h
+            c = filters
+            prev = dst
+        elif choice == "concat":
+            cands = [p for p in produced if p[2] == h and p[0] != prev]
+            if cands:
+                other = cands[rng.randint(len(cands))]
+                lines += [
+                    "[concat]", f"src={prev},{other[0]}", f"dst={dst}", "",
+                ]
+                c = c + other[1]
+                prev = dst
+        elif choice == "eltwise":
+            cands = [p for p in produced if p[2] == h and p[0] != prev]
+            if cands:
+                other = cands[rng.randint(len(cands))]
+                act = ["relu", "none"][rng.randint(2)]
+                lines += [
+                    "[eltwise]", f"activation={act}",
+                    f"src={prev},{other[0]}", f"dst={dst}", "",
+                ]
+                prev = dst
+        produced.append((prev, c, h))
         idx += 1
     # head: fc + softmax
     lines += [
@@ -91,6 +132,51 @@ def gen_conf(rng, depth=5):
         "[softmax]", "src=fc", "dst=soft", "",
     ]
     return "\n".join(lines), lines[2].split("=")[1]
+
+
+def test_reference_segfaults_on_plain_activation(harness, tmp_path):
+    """Documents a REFERENCE defect we fix: a standalone [activation] layer
+    with any non-PReLU function dereferences a NULL slopes tensor in the
+    reference's forward (bcnn_activation_layer.c:147-162 passes
+    weights->data with weights == NULL), crashing even its own
+    examples/mnist_cl recipe. Our implementation runs such graphs fine
+    (the CLI tests train that exact recipe)."""
+    conf_text = """
+[net]
+input_width=8
+input_height=8
+input_channels=1
+batch_size=1
+
+[conv]
+filters=4
+size=3
+stride=1
+pad=1
+activation=none
+src=input
+dst=c
+
+[activation]
+function=relu
+src=c
+"""
+    conf, weights = build_and_save(conf_text, tmp_path, seed=42)
+    x = np.zeros((1, 1, 8, 8), np.float32)
+    xfile = tmp_path / "x.raw"
+    x.ravel().tofile(xfile)
+    r = subprocess.run(
+        [harness, "forward", str(conf), str(weights), str(xfile), "c",
+         str(tmp_path / "o.raw")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0, (
+        "reference no longer crashes — revisit the defect note"
+    )
+    # ours handles it
+    (mine,), _, _ = run_mine_predict(str(conf), str(weights), x, ["c"])
+    assert np.isfinite(np.asarray(mine)).all()
+    assert np.asarray(mine).min() >= 0  # relu applied in-place
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
