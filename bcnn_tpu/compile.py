@@ -89,15 +89,11 @@ class _Executor:
         self.values: Dict[int, jax.Array] = {}
         self.surrogate = jnp.zeros((), jnp.float32)
         self.metrics = []  # per cost node reported value
-        # reduced-precision MXU inputs are inference-only for now: the
-        # cast-inputs + fp32-preferred-output pattern has no valid conv
-        # transpose (JAX requires matching dtypes in the VJP), so training
-        # stays fp32 (which the optimizer-parity tests rely on anyway)
-        self.compute_dtype = (
-            getattr(net, "compute_dtype", None)
-            if mode == Mode.PREDICT
-            else None
-        )
+        # compute_dtype applies in ALL modes: convs/FC take bf16 MXU inputs
+        # with fp32 accumulation and fp32 master params; the conv backward
+        # runs in bf16 too via the custom VJPs in ops/conv.py. Parity tests
+        # leave compute_dtype unset (fp32 everywhere).
+        self.compute_dtype = getattr(net, "compute_dtype", None)
         # opt-in (net.act_dtype): keep activations in a reduced dtype
         # between layers. Measured on v5e/axon this *hurts* yolov3-tiny
         # (bf16 relayout costs exceed the HBM savings: 198ms vs 37ms for

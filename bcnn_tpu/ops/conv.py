@@ -16,6 +16,8 @@ floor((h + pl + ph - k)/s) + 1 with pl = ph = p.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -23,6 +25,73 @@ from jax import lax
 _DN = lax.conv_dimension_numbers(
     (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
 )
+
+
+def _conv_raw(x, w, stride, pad, groups, precision, preferred):
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=preferred,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Mixed-precision conv with a valid VJP.
+#
+# JAX's conv transpose rule requires lhs/rhs dtypes to match, so the
+# "cast inputs to bf16, accumulate/emit fp32" pattern is not directly
+# differentiable (the rule would pair a bf16 residual with the fp32
+# cotangent). This custom_vjp keeps the forward numerics identical to the
+# inference fast path (bf16 MXU inputs, fp32 accumulate+output) and runs
+# the backward as the VJP of the all-bf16 conv: the cotangent is cast to
+# bf16, both transposed convs hit the MXU in bf16 (fp32 internal
+# accumulation), and the grads are cast back to the primal dtypes so
+# fp32 master params get fp32 grads. This replaces the reference's
+# hand-written fp32 conv backward (bcnn_conv_layer.c:487-587) at MXU
+# speed. Residuals are stored in bf16 — the activation memory of the
+# backward pass is halved as a side effect.
+# --------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv2d_mixed(x, w, stride, pad, groups, cd):
+    return _conv_raw(
+        x.astype(cd), w.astype(cd), stride, pad, groups,
+        lax.Precision.DEFAULT, jnp.float32,
+    )
+
+
+def _conv2d_mixed_fwd(x, w, stride, pad, groups, cd):
+    x16 = x.astype(cd)
+    w16 = w.astype(cd)
+    y = _conv_raw(
+        x16, w16, stride, pad, groups, lax.Precision.DEFAULT, jnp.float32
+    )
+    # zero-size dtype carriers: residual leaves must be JAX types
+    return y, (x16, w16, jnp.zeros((0,), x.dtype), jnp.zeros((0,), w.dtype))
+
+
+def _conv2d_mixed_bwd(stride, pad, groups, cd, res, g):
+    x16, w16, xdt_c, wdt_c = res
+    xdt, wdt = xdt_c.dtype, wdt_c.dtype
+
+    def f(a, b):
+        # same-dtype conv => standard JAX transpose rules apply
+        return _conv_raw(
+            a, b, stride, pad, groups, lax.Precision.DEFAULT, None
+        )
+
+    _, vjp = jax.vjp(f, x16, w16)
+    dx, dw = vjp(g.astype(cd))
+    return dx.astype(xdt), dw.astype(wdt)
+
+
+_conv2d_mixed.defvjp(_conv2d_mixed_fwd, _conv2d_mixed_bwd)
 
 
 def conv2d(
@@ -40,20 +109,18 @@ def conv2d(
     accumulates fp32 internally. out_dtype: result dtype — keeping it bf16
     in inference halves inter-layer HBM traffic on the memory-bound
     high-resolution layers."""
-    precision = lax.Precision.HIGHEST
     if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-        precision = lax.Precision.DEFAULT
-    return lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        precision=precision,
-        preferred_element_type=out_dtype or jnp.float32,
+        if out_dtype is not None:
+            # inference-only act_dtype path: no grad needed, direct lowering
+            return _conv_raw(
+                x.astype(compute_dtype), w.astype(compute_dtype),
+                stride, pad, groups, lax.Precision.DEFAULT, out_dtype,
+            )
+        return _conv2d_mixed(
+            x, w, stride, pad, groups, jnp.dtype(compute_dtype)
+        )
+    return _conv_raw(
+        x, w, stride, pad, groups, lax.Precision.HIGHEST, jnp.float32
     )
 
 
@@ -95,11 +162,14 @@ def conv2d_transpose(
     transpose; it matches the reference exactly for pad == 0 (verified in
     tests/test_reference_parity.py).
     """
-    precision = lax.Precision.HIGHEST
     if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-        precision = lax.Precision.DEFAULT
+        return _convt_mixed(x, w, stride, pad, jnp.dtype(compute_dtype))
+    return _convt_raw(
+        x, w, stride, pad, lax.Precision.HIGHEST, jnp.float32
+    )
+
+
+def _convt_raw(x, w, stride, pad, precision, preferred):
     # lax.conv_transpose's explicit padding pairs apply to the dilated
     # input, not the forward conv being transposed: the gradient of a conv
     # with padding p needs explicit pads of (k-1-p) per edge, giving
@@ -114,5 +184,38 @@ def conv2d_transpose(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _convt_mixed(x, w, stride, pad, cd):
+    """Mixed-precision deconv; same VJP strategy as _conv2d_mixed."""
+    return _convt_raw(
+        x.astype(cd), w.astype(cd), stride, pad,
+        lax.Precision.DEFAULT, jnp.float32,
+    )
+
+
+def _convt_mixed_fwd(x, w, stride, pad, cd):
+    x16 = x.astype(cd)
+    w16 = w.astype(cd)
+    y = _convt_raw(
+        x16, w16, stride, pad, lax.Precision.DEFAULT, jnp.float32
+    )
+    return y, (x16, w16, jnp.zeros((0,), x.dtype), jnp.zeros((0,), w.dtype))
+
+
+def _convt_mixed_bwd(stride, pad, cd, res, g):
+    x16, w16, xdt_c, wdt_c = res
+    xdt, wdt = xdt_c.dtype, wdt_c.dtype
+
+    def f(a, b):
+        return _convt_raw(a, b, stride, pad, lax.Precision.DEFAULT, None)
+
+    _, vjp = jax.vjp(f, x16, w16)
+    dx, dw = vjp(g.astype(cd))
+    return dx.astype(xdt), dw.astype(wdt)
+
+
+_convt_mixed.defvjp(_convt_mixed_fwd, _convt_mixed_bwd)

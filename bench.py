@@ -33,9 +33,14 @@ def main():
     from bcnn_tpu.compile import execute
     from bcnn_tpu.models import yolov3_tiny
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    mode = os.environ.get("BENCH_MODE", "forward")
+    # forward|detect|int8|train
+    batch = int(
+        os.environ.get("BENCH_BATCH", "64" if mode == "train" else "256")
+    )
     runs = int(os.environ.get("BENCH_RUNS", "20"))
-    mode = os.environ.get("BENCH_MODE", "forward")  # forward|detect|int8
+    if mode == "train":
+        return bench_train(batch, runs)
     net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
     sess = Session(net, seed=0).compile_net()
@@ -121,21 +126,27 @@ def main():
     # per-iteration host sync puts a tunnel RTT in every sample; to bound it
     # measure both per-run timings and M-deep pipelined bursts. The shared
     # chip shows large jitter (identical HLOs have measured 37ms and 530ms
-    # hours apart), so sample several rounds and keep the global best.
+    # hours apart): sample interleaved rounds, report the global best AND
+    # the median of per-round bests (robust to a single lucky window).
     times = []
-    burst_times = []
+    round_bests = []
     burst = 8
-    for _ in range(max(1, runs // 4)):
+    for _ in range(max(2, runs // 4)):
+        rb = []
         for _ in range(4):
             t0 = time.perf_counter()
             sync(forward(params, state, x))
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            rb.append(dt)
         t0 = time.perf_counter()
         outs = [forward(params, state, x) for _ in range(burst)]
         sync(outs[-1])
-        burst_times.append((time.perf_counter() - t0) / burst)
+        rb.append((time.perf_counter() - t0) / burst)
+        round_bests.append(min(rb))
 
-    best = min(min(times), min(burst_times))
+    best = min(round_bests)
+    median_best = float(np.median(round_bests))
     img_s = batch / best
     print(
         json.dumps(
@@ -149,7 +160,89 @@ def main():
                 "vs_baseline": round(img_s / TARGET_IMG_S, 3),
                 "batch": batch,
                 "best_ms": round(best * 1e3, 2),
+                "median_best_ms": round(median_best * 1e3, 2),
+                "median_best_img_s": round(batch / median_best, 1),
+                "n_rounds": len(round_bests),
                 "avg_ms": round(sum(times) / len(times) * 1e3, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+def bench_train(batch: int, runs: int):
+    """Full training step (fwd+bwd+update) on YOLOv3-tiny 416 with bf16
+    MXU compute (fp32 master params/accumulation) — the path the custom
+    conv VJPs in ops/conv.py unlock. The reference's training is fp32
+    CPU/CUDA (bcnn_conv_layer.c:487-587)."""
+    from bcnn_tpu import Mode, Session
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.models import yolov3_tiny
+    from bcnn_tpu.types import DETECTION_MAX_BOXES
+
+    net = yolov3_tiny(batch_size=batch, mode=Mode.TRAIN)
+    net.compute_dtype = jnp.bfloat16
+    sess = Session(net, seed=0).compile_net()
+    step = make_train_step(net)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 3, 416, 416), jnp.float32)
+    label = np.zeros((batch, DETECTION_MAX_BOXES * 5), np.float32)
+    label[:, 0:5] = [0.5, 0.5, 0.25, 0.25, 1]
+    label = jnp.asarray(label)
+    key = jax.random.PRNGKey(0)
+
+    params, state, opt = sess.params, sess.state, sess.opt_state
+
+    def one(params, state, opt, k):
+        return step(params, state, opt, {"input": x, "label": label}, k)
+
+    # compile + warmup (donated buffers: rebind)
+    params, state, opt, loss = one(params, state, opt, key)
+    jax.block_until_ready(loss)
+    _ = float(np.asarray(loss))
+
+    round_bests = []
+    times = []
+    burst = 4
+    for r in range(max(2, runs // 4)):
+        rb = []
+        for i in range(2):
+            key = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            params, state, opt, loss = one(params, state, opt, key)
+            jax.block_until_ready(loss)
+            _ = float(np.asarray(loss))
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            rb.append(dt)
+        # steps chain through donated params: a natural pipeline, one sync
+        t0 = time.perf_counter()
+        for i in range(burst):
+            key = jax.random.fold_in(key, 100 + i)
+            params, state, opt, loss = one(params, state, opt, key)
+        jax.block_until_ready(loss)
+        _ = float(np.asarray(loss))
+        rb.append((time.perf_counter() - t0) / burst)
+        round_bests.append(min(rb))
+
+    best = min(round_bests)
+    median_best = float(np.median(round_bests))
+    img_s = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "yolov3_tiny_416_train_bf16",
+                "value": round(img_s, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s / TARGET_IMG_S, 3),
+                "batch": batch,
+                "best_ms": round(best * 1e3, 2),
+                "median_best_ms": round(median_best * 1e3, 2),
+                "median_best_img_s": round(batch / median_best, 1),
+                "n_rounds": len(round_bests),
+                "avg_ms": round(sum(times) / len(times) * 1e3, 2),
+                "loss": float(np.asarray(loss)),
                 "device": str(jax.devices()[0]),
             }
         )
