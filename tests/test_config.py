@@ -200,12 +200,12 @@ def test_reference_mnist_conf_parses():
     assert net.tensor("soft").shape == (16, 10, 1, 1)
 
 
-REFERENCE_YOLO_CFG = "/root/reference/examples/yolo/yolov3-tiny.cfg"
-
-
-@pytest.mark.skipif(
-    not os.path.exists(REFERENCE_YOLO_CFG), reason="reference not mounted"
+REFERENCE_YOLO_CFG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples", "yolo", "yolov3-tiny.cfg",
 )
+
+
 def test_reference_yolov3_tiny_cfg_parses(tmp_path):
     """Parse the Darknet yolov3-tiny graph (no weights file -> use a dummy
     .weights name trick is not possible; instead parse with fmt forced by
@@ -245,21 +245,62 @@ def test_reference_yolov3_tiny_cfg_parses(tmp_path):
     assert len(yolo_nodes[0].param["anchors"]) == 12
     assert yolo_nodes[0].param["classes"] == 80
 
-    # the full reference graph must run: resize to 160 for CPU speed and
-    # execute one forward through both heads
+    _run_yolo_forward(net, yolo_nodes)
+
+
+def _parse_darknet(path):
+    from bcnn_tpu.config import LayerParam, add_layer, layer_param_set, \
+        net_set_param, parse_ini
+
+    net = Net(Mode.PREDICT)
+    sections = parse_ini(path)
+    for k, v in sections[0].keys:
+        net_set_param(net, k, v)
+    for i in range(1, len(sections)):
+        lp = LayerParam()
+        for k, v in sections[i].keys:
+            layer_param_set(lp, i, k, v, fmt=1)
+        if lp.src_id is None:
+            lp.src_id = [f"lid{i-1}"]
+        if lp.dst_id is None:
+            lp.dst_id = f"lid{i}"
+        add_layer(net, sections[i].name, lp)
+    return net
+
+
+def _run_yolo_forward(net, yolo_nodes, size=160):
+    # the full reference graph must run: resize down for CPU speed and
+    # execute one forward through all heads
     import numpy as np
 
     from bcnn_tpu import Session
 
-    net.resize(160, 160, batch_size=1)
+    net.resize(size, size, batch_size=1)
     sess = Session(net, 0).compile_net()
     names = [net.tensors[n.dst[0]].name for n in yolo_nodes]
-    x = np.zeros((1, 3, 160, 160), np.float32)
+    x = np.zeros((1, 3, size, size), np.float32)
     outs, _ = sess.predict_on_batch(x, outputs=names)
     got = sorted(np.asarray(o).shape[2] for o in outs)
-    assert got == [5, 10]  # 160/32, 160/16
+    assert got == sorted(size // (32 // 2**i) for i in range(len(names)))
     for o in outs:
         a = np.asarray(o)
         assert np.isfinite(a).all()
-        # objectness/class channels are post-logistic: within (0,1)
-        assert a.min() >= -50 and a.max() <= 50
+
+
+def test_reference_yolov3_full_cfg_parses():
+    """The vendored full yolov3.cfg (789 lines): 75 convs, 23 [shortcut]
+    (eltwise), 3 heads at strides 32/16/8."""
+    cfg = REFERENCE_YOLO_CFG.replace("yolov3-tiny.cfg", "yolov3.cfg")
+    net = _parse_darknet(cfg)
+    types = [n.type for n in net.nodes]
+    assert types.count(LayerType.YOLOV3) == 3
+    assert types.count(LayerType.CONV2D) == 75
+    assert types.count(LayerType.ELTWISE) == 23
+    assert types.count(LayerType.UPSAMPLE) == 2
+    # all 4 [route]s become concat nodes (1-src route == copy, like the
+    # reference's bcnn_add_concat_layer with a single source)
+    assert types.count(LayerType.CONCAT) == 4
+    yolo_nodes = [n for n in net.nodes if n.type == LayerType.YOLOV3]
+    shapes = sorted(net.tensors[n.dst[0]].h for n in yolo_nodes)
+    assert shapes == [19, 38, 76]  # yolov3.cfg is 608x608
+    _run_yolo_forward(net, yolo_nodes, size=128)
