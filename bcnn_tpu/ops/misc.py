@@ -70,23 +70,87 @@ def upsample_nn(x: jax.Array, size: int) -> jax.Array:
 def lrn(
     x: jax.Array, local_size: int, alpha: float, beta: float, k: float
 ) -> jax.Array:
-    """Cross-channel local response normalization, transcribed EXACTLY from
-    the reference's running-sum implementation (bcnn_lrn_layer.c:106-155):
-      y = x * norm^(-beta)
-    where norm is built channel-by-channel:
-      norm[0]   = k + a * sum_{c' < ls/2} sq[c']
-      loop A (c in [1, min(1+(ls-1)/2, C-ls/2))):
-                  norm[c] = norm[c-1] + a*sq[c + ls/2]
-      loop B (c in [min(1+(ls-1)/2, C-ls/2), C-ls/2)):
-                  norm[c] = norm[c-1] - a*sq[c-(ls-1)/2-1] + a*sq[c+ls/2]
-      loop C (c in [max(1, C-ls/2), C)):
-                  norm[c] = norm[c-1] - a*sq[c-(ls-1)/2-1]
-    with a = alpha/local_size. Note this is NOT the textbook symmetric
-    window (e.g. for ls=3 channel 1's window is {0,2}) — the quirk is
-    preserved for numerical parity, which the cross-implementation test
-    (tests/test_reference_parity.py) checks against the compiled reference.
-    x: NHWC; channel count is static, the recurrence unrolls at trace time.
+    """Cross-channel local response normalization with the reference's
+    exact (quirky) window semantics (bcnn_lrn_layer.c:106-155):
+      y = x * norm^(-beta),  a = alpha/local_size
+      norm[0] = k + a * sum_{c' < ls/2} sq[c']          (ls/2 EXCLUDED)
+      norm[c] = norm[c-1] (+ a*sq[c+ls/2] while in range)
+                          (- a*sq[c-(ls-1)/2-1] once c is past the head)
+    — NOT the textbook symmetric window (for ls=3 channel 1's window is
+    {0,2}); parity is checked against the compiled reference
+    (tests/test_reference_parity.py).
+
+    The recurrence is evaluated as a lax.scan over the channel axis so the
+    HLO op count is CONSTANT in C (the round-1 transcription unrolled an
+    O(C) chain — an AlexNet C=256 LRN emits hundreds of chained ops, which
+    wedges the shared remote TPU compiler). A closed cumsum form exists
+    but re-associates the floating-point adds/subtracts; with the
+    reference's k=0 quirk the running sum can cancel to ~0 and the -beta
+    power amplifies any re-association, so the scan reproduces the exact
+    sequential op order instead: bit-identical to the reference loop.
+    With hh = ls//2, hl = (ls-1)//2, m = max(1, min(1+hl, C-hh)):
+      step s in [1, C-hh)  adds      a*sq[s+hh]
+      step s in [m, C)     subtracts a*sq[s-hl-1]   (subtract-then-add
+                           order inside a step, as in loop B)
+    where negative remove indices resolve as JAX static indexing does
+    (add C once, then clamp to 0) — the reference underflows its buffer
+    there (undefined behavior), so the contract for those degenerate
+    C < window cases is bit-identity with the round-1 transcription.
     """
+    import numpy as np
+
+    from jax import lax
+
+    cdim = x.shape[-1]
+    a = alpha / local_size
+    hh = local_size // 2
+    hl = (local_size - 1) // 2
+    sq = jnp.square(x)
+
+    # head term: Python loop of min(hh, C) adds — O(local_size), constant
+    # in C, and the same sequential association as the reference
+    norm0 = k + a * sum(
+        (sq[..., c2] for c2 in range(min(hh, cdim))),
+        start=jnp.zeros_like(sq[..., 0]),
+    )
+    if cdim == 1:
+        return x * jnp.power(norm0[..., None], -beta)
+
+    s = np.arange(1, cdim)
+    add_m = s < cdim - hh
+    add_idx = np.where(add_m, np.minimum(s + hh, cdim - 1), 0)
+    m = max(1, min(1 + hl, cdim - hh))
+    rm_m = s >= m
+    raw = s - hl - 1
+    rm_idx = np.where(raw >= 0, raw, np.clip(raw + cdim, 0, cdim - 1))
+    rm_idx = np.where(rm_m, rm_idx, 0)
+
+    sq_c = jnp.moveaxis(sq, -1, 0)  # (C, N, H, W)
+    xs = (
+        sq_c[add_idx],
+        jnp.asarray(add_m),
+        sq_c[rm_idx],
+        jnp.asarray(rm_m),
+    )
+
+    def body(prev, t):
+        ad, am, rm, rmm = t
+        cur = jnp.where(rmm, prev - a * rm, prev)
+        cur = jnp.where(am, cur + a * ad, cur)
+        return cur, cur
+
+    _, rest = lax.scan(body, norm0, xs)
+    norm = jnp.concatenate([norm0[None], rest], axis=0)
+    return x * jnp.power(jnp.moveaxis(norm, 0, -1), -beta)
+
+
+def _lrn_unrolled(
+    x: jax.Array, local_size: int, alpha: float, beta: float, k: float
+) -> jax.Array:
+    """Direct transcription of the reference recurrence (the round-1
+    implementation). Kept as the specification for tests/test_ops.py's
+    lrn_vectorized_matches_unrolled sweep; O(C) HLO ops — do not use in
+    model graphs."""
     cdim = x.shape[-1]
     a = alpha / local_size
     half_hi = local_size // 2

@@ -208,3 +208,38 @@ def test_upsample_and_lrn_shapes():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(x) * 2.0 ** -0.75, rtol=1e-3
     )
+
+
+def test_lrn_vectorized_matches_unrolled():
+    """The cumsum-window LRN must reproduce the reference-transcribed
+    recurrence bit-for-bit-ish across channel counts (incl. C=256, where
+    the unrolled form would emit hundreds of chained HLO ops) and across
+    window/channel regimes incl. the degenerate C < window cases."""
+    from bcnn_tpu.ops.misc import _lrn_unrolled
+
+    rng = np.random.RandomState(0)
+    for cdim in (1, 2, 3, 5, 16, 64, 256):
+        for ls in (1, 2, 3, 5, 7, 11):
+            x = jnp.asarray(
+                rng.randn(2, 4, 4, cdim).astype(np.float32) * 2.0
+            )
+            a = np.asarray(ops.lrn(x, ls, 1e-2, 0.75, 2.0))
+            b = np.asarray(_lrn_unrolled(x, ls, 1e-2, 0.75, 2.0))
+            np.testing.assert_allclose(
+                a, b, rtol=2e-5, atol=2e-6,
+                err_msg=f"C={cdim} local_size={ls}",
+            )
+
+
+def test_lrn_hlo_size_constant_in_channels():
+    """HLO op count must not grow with C (shared-remote-compiler safety)."""
+
+    def count(cdim):
+        x = jax.ShapeDtypeStruct((1, 2, 2, cdim), jnp.float32)
+        mod = jax.jit(
+            lambda t: ops.lrn(t, 5, 1e-4, 0.75, 1.0)
+        ).lower(x).as_text()
+        return mod.count("\n")
+
+    small, big = count(8), count(512)
+    assert big <= small + 10, (small, big)
