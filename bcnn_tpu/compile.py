@@ -218,10 +218,20 @@ class _Executor:
     def _transpose_conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
-        w = self.p(node.src[1])
-        y = ops.conv2d_transpose(
-            x, w, p["stride"], p["pad"], self.compute_dtype
-        )
+        q = self._quant_entry(node)
+        if q is not None:
+            from .ops.quant import conv2d_transpose_int8, quantize_tensor
+
+            wq, sx = q
+            y = conv2d_transpose_int8(
+                quantize_tensor(x, sx), wq["q"], sx, wq["scale"],
+                p["stride"], p["pad"],
+            )
+        else:
+            w = self.p(node.src[1])
+            y = ops.conv2d_transpose(
+                x, w, p["stride"], p["pad"], self.compute_dtype
+            )
         y = y + self.p(node.src[2])
         y = ops.apply_activation(y, p["activation"])
         self.values[node.dst[0]] = y

@@ -45,6 +45,18 @@ def quantize_weights(net, params) -> Dict[str, Dict]:
             scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
             q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
             out[key] = {"q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+        elif node.type == LayerType.TRANSPOSE_CONV2D:
+            key = net.tensors[node.src[1]].key
+            # deconv HWIO is (k,k,n,c_src): deconv OUTPUT channels are
+            # axis 2 (the forward-conv input side) — per-output-channel
+            # scales reduce over (0,1,3)
+            w = np.asarray(params[key], np.float32)
+            amax = np.abs(w).max(axis=(0, 1, 3))
+            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+            q = np.clip(
+                np.round(w / scale[None, None, :, None]), -127, 127
+            ).astype(np.int8)
+            out[key] = {"q": jnp.asarray(q), "scale": jnp.asarray(scale)}
         elif node.type == LayerType.FULL_CONNECTED:
             key = net.tensors[node.src[1]].key
             w = np.asarray(params[key], np.float32)  # (in, out)
@@ -65,6 +77,7 @@ def calibrate(net, params, state, batches: List[np.ndarray]) -> Dict[int, float]
         if node.type in (
             LayerType.CONV2D,
             LayerType.DEPTHWISE_CONV2D,
+            LayerType.TRANSPOSE_CONV2D,
             LayerType.FULL_CONNECTED,
         ):
             watch.append(node.src[0])
@@ -100,6 +113,27 @@ def conv2d_int8(
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * w_scale)
+
+
+def conv2d_transpose_int8(
+    x: jax.Array, wq: jax.Array, x_scale: float, w_scale: jax.Array,
+    stride: int, pad: int,
+) -> jax.Array:
+    """int8 deconv: same transposed geometry as ops.conv.conv2d_transpose
+    (explicit pads k-1-p on the dilated input), int32 MXU accumulation,
+    fused dequant. wq int8 (k,k,n,c_src); w_scale (n,)."""
+    k = wq.shape[0]
+    e = k - 1 - pad
+    acc = jax.lax.conv_transpose(
+        x,
+        wq,
+        strides=(stride, stride),
+        padding=((e, e), (e, e)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * (x_scale * w_scale)
