@@ -469,17 +469,38 @@ def make_train_step(
     if device_augment is None:
         device_augment = getattr(net, "device_augment", None)
 
+    from .types import LayerType
+
+    is_detection = any(n.type == LayerType.YOLOV3 for n in net.nodes)
+    if device_augment is not None and is_detection:
+        # fail at build time, not silently corrupt labels at train time
+        if float(device_augment.get("max_distortion", 0.0)) > 0.0:
+            raise ValueError(
+                "device_augment: max_distortion cannot be combined with "
+                "detection training (no box transform represents it)"
+            )
+
     def loss_fn(params, state, batch, rng):
         if device_augment is not None:
-            from .data.device_augment import augment_batch_nchw
-
             rng, akey = jax.random.split(rng)
-            batch = dict(
-                batch,
-                input=augment_batch_nchw(
-                    batch["input"], akey, device_augment
-                ),
-            )
+            if is_detection:
+                from .data.device_augment import (
+                    augment_batch_with_boxes_nchw,
+                )
+
+                x, lab = augment_batch_with_boxes_nchw(
+                    batch["input"], batch["label"], akey, device_augment
+                )
+                batch = dict(batch, input=x, label=lab)
+            else:
+                from .data.device_augment import augment_batch_nchw
+
+                batch = dict(
+                    batch,
+                    input=augment_batch_nchw(
+                        batch["input"], akey, device_augment
+                    ),
+                )
         ex = execute(net, params, state, batch, Mode.TRAIN, rng)
         return ex.surrogate, (ex.state, get_loss(ex))
 

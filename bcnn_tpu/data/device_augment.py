@@ -55,8 +55,96 @@ def _bilinear_gather(img: jax.Array, xs: jax.Array, ys: jax.Array, fill):
     return jnp.where(valid, out, fill)
 
 
+def _noise2d_i32(ix, iy, seed):
+    """bip's _bip_noise2d integer hash (bip.c:154-160) on the VPU; int32
+    ops wrap like C."""
+    i = (
+        ix.astype(jnp.int32) * jnp.int32(1619)
+        + iy.astype(jnp.int32) * jnp.int32(31337)
+        + seed.astype(jnp.int32) * jnp.int32(13397)
+    )
+    n = jnp.bitwise_xor(jnp.left_shift(i, 13), i)
+    m = (
+        n * (n * n * jnp.int32(15731) + jnp.int32(789221))
+        + jnp.int32(1376312589)
+    ) & jnp.int32(0x7FFFFFFF)
+    return 1.0 - m.astype(jnp.float32) / 1073741824.0
+
+
+def _smooth2d_dev(x, y, seed):
+    ix = jnp.floor(x)
+    iy = jnp.floor(y)
+    fx = x - ix
+    fy = y - iy
+    v1 = _noise2d_i32(ix, iy, seed)
+    v2 = _noise2d_i32(ix + 1, iy, seed)
+    v3 = _noise2d_i32(ix, iy + 1, seed)
+    v4 = _noise2d_i32(ix + 1, iy + 1, seed)
+
+    def interp(a, b, t):
+        tt = (1.0 - jnp.cos(t * jnp.pi)) * 0.5
+        return a * (1.0 - tt) + b * tt
+
+    return interp(interp(v1, v2, fx), interp(v3, v4, fx), fy)
+
+
+def _perlin_one(img, distortion, kx, ky, seed):
+    """Device port of bip_image_perlin_distortion (bip.c:205-266): single
+    octave, same displacement on x and y, bilinear with zero outside,
+    C-truncation quirk for the sample cell."""
+    h, w, _ = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x_norm = xs / w
+    y_norm = ys / h
+    noise = _smooth2d_dev(x_norm + kx, y_norm + ky, seed)
+    px = (x_norm + noise * distortion) * w
+    py = (y_norm + noise * distortion) * h
+    x_map = px.astype(jnp.int32)  # C cast truncates toward zero
+    y_map = py.astype(jnp.int32)
+    fx = (px - jnp.floor(px))[..., None]
+    fy = (py - jnp.floor(py))[..., None]
+    valid = (
+        (x_map >= 0) & (x_map < w - 1) & (y_map >= 0) & (y_map < h - 1)
+    )[..., None]
+    xm = jnp.clip(x_map, 0, w - 2)
+    ym = jnp.clip(y_map, 0, h - 2)
+    out = (
+        img[ym, xm] * (1 - fx) * (1 - fy)
+        + img[ym, xm + 1] * fx * (1 - fy)
+        + img[ym + 1, xm] * (1 - fx) * fy
+        + img[ym + 1, xm + 1] * fx * fy
+    )
+    # host path rounds through uint8 here; keep float but clamp the same
+    out = jnp.clip(out, 0.0, 255.0)
+    return jnp.where(valid, out, 0.0)
+
+
+def _spotlights_one(img, mu_x, mu_y, sx, sy, active):
+    """Device port of bip_add_random_spotlights (bip.c:282-317): additive
+    255*gaussian per spot, clamped AFTER EACH spot (host order). Spot
+    count is dynamic on the host; here a static max_spots loop with an
+    `active` mask per slot."""
+    h, w, _ = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    out = img
+    for i in range(mu_x.shape[0]):
+        val = jnp.exp(
+            -0.5
+            * (
+                (xs - mu_x[i]) ** 2 / (sx[i] * sx[i])
+                + (ys - mu_y[i]) ** 2 / (sy[i] * sy[i])
+            )
+        )
+        out = jnp.clip(
+            out + 255.0 * val[..., None] * active[i], 0.0, 255.0
+        )
+    return out
+
+
 def _augment_one(img, params, fill=FILL):
-    """img (H,W,C) float; params dict of scalars."""
+    """img (H,W,C) float; params dict of scalars (per-image)."""
     h, w, _ = img.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
@@ -73,10 +161,25 @@ def _augment_one(img, params, fill=FILL):
     # contrast around the per-image mean, then brightness (bip semantics)
     mean = jnp.mean(out, axis=(0, 1), keepdims=True)
     out = (out - mean) * params["contrast"] + mean + params["brightness"]
-    return jnp.clip(out, 0.0, 255.0)
+    out = jnp.clip(out, 0.0, 255.0)
+    # perlin distortion then spotlights, in the host augmenter's order
+    # (bcnn_apply_data_augmentation, bcnn_data.c:214-332)
+    if "distortion" in params:
+        distorted = _perlin_one(
+            out, params["distortion"], params["dist_kx"],
+            params["dist_ky"], params["dist_seed"],
+        )
+        out = jnp.where(params["distortion"] > 0, distorted, out)
+    if "spot_mu_x" in params:
+        out = _spotlights_one(
+            out, params["spot_mu_x"], params["spot_mu_y"],
+            params["spot_sx"], params["spot_sy"], params["spot_active"],
+        )
+    return out
 
 
 def sample_params(rng: jax.Array, n: int, cfg: Dict) -> Dict[str, jax.Array]:
+    rng, k_extra = jax.random.split(rng)
     ks = jax.random.split(rng, 7)
 
     def u(k, lo, hi):
@@ -104,10 +207,49 @@ def sample_params(rng: jax.Array, n: int, cfg: Dict) -> Dict[str, jax.Array]:
         if cfg.get("random_fliph")
         else jnp.zeros((n,))
     )
-    return dict(
+    out = dict(
         theta=theta, scale=scale, tx=tx, ty=ty,
         contrast=contrast, brightness=brightness, flip=flip,
     )
+    max_dist = float(cfg.get("max_distortion", 0.0))
+    if max_dist > 0.0:
+        kd = jax.random.split(k_extra, 4)
+        out["distortion"] = u(kd[0], 0.0, max_dist)
+        out["dist_kx"] = u(kd[1], -0.5, 0.5)
+        out["dist_ky"] = u(kd[2], -0.5, 0.5)
+        out["dist_seed"] = jax.random.randint(
+            kd[3], (n,), 0, 2**31 - 1, jnp.int32
+        )
+        k_extra = kd[3]
+    max_spots = int(cfg.get("max_random_spots", 0))
+    if max_spots > 0:
+        km = jax.random.split(k_extra, 5)
+        # host: n_spots = int(rand*max + 0.5); spot i active iff i < n
+        n_spots = jnp.floor(
+            jax.random.uniform(km[0], (n,)) * max_spots + 0.5
+        )
+        idx = jnp.arange(max_spots, dtype=jnp.float32)
+        out["spot_active"] = (
+            idx[None, :] < n_spots[:, None]
+        ).astype(jnp.float32)  # (n, max_spots)
+        # host: mu = int(rand*(dim-1)+0.5), sigma = rand*(3-0.3)+0.3+0.5
+        hh = int(cfg["_img_h"])
+        ww = int(cfg["_img_w"])
+        out["spot_mu_x"] = jnp.floor(
+            jax.random.uniform(km[1], (n, max_spots)) * (ww - 1) + 0.5
+        )
+        out["spot_mu_y"] = jnp.floor(
+            jax.random.uniform(km[2], (n, max_spots)) * (hh - 1) + 0.5
+        )
+        out["spot_sx"] = (
+            jax.random.uniform(km[3], (n, max_spots)) * (3.0 - 0.3)
+            + 0.3 + 0.5
+        )
+        out["spot_sy"] = (
+            jax.random.uniform(km[4], (n, max_spots)) * (3.0 - 0.3)
+            + 0.3 + 0.5
+        )
+    return out
 
 
 def augment_batch(
@@ -118,9 +260,108 @@ def augment_batch(
     (N,H,W,C) float32 in [-1,1]. Jit-friendly (static shapes)."""
     x = batch_u8.astype(jnp.float32)
     n = x.shape[0]
+    cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
     out = jax.vmap(_augment_one)(x, params)
     return (out - mean) * norm_coeff
+
+
+# --------------------------------------------------------------------- #
+# Detection: the same affine map applied to box labels.
+# --------------------------------------------------------------------- #
+
+
+def transform_boxes(labels: jax.Array, params: Dict, h: int, w: int):
+    """labels (N, 50*5) normalized [x,y,bw,bh,class], validity = x != 0
+    up to the first zero (the reference's `break` semantics,
+    bcnn_yolo.c:delta loop). Applies the FORWARD of _augment_one's
+    inverse affine map to each box's corners, takes the axis-aligned
+    envelope, clips to the frame, drops collapsed boxes, and compacts
+    survivors to the front so the first-zero-terminates convention is
+    preserved."""
+    from ..types import DETECTION_MAX_BOXES as B
+
+    n = labels.shape[0]
+    lab = labels.reshape(n, B, 5)
+    valid = jnp.cumprod(
+        (lab[..., 0] != 0).astype(jnp.float32), axis=1
+    )  # (N,B)
+
+    cy_i, cx_i = (h - 1) / 2.0, (w - 1) / 2.0
+    # normalized -> pixel coords (pixel centers at (i+0.5)/dim)
+    cx = lab[..., 0] * w - 0.5
+    cy = lab[..., 1] * h - 0.5
+    hw = lab[..., 2] * w / 2.0
+    hh = lab[..., 3] * h / 2.0
+    corner_x = jnp.stack(
+        [cx - hw, cx + hw, cx - hw, cx + hw], axis=-1
+    )  # (N,B,4)
+    corner_y = jnp.stack([cy - hh, cy - hh, cy + hh, cy + hh], axis=-1)
+
+    flip = params["flip"][:, None, None]
+    theta = params["theta"][:, None, None]
+    scale = params["scale"][:, None, None]
+    tx = params["tx"][:, None, None]
+    ty = params["ty"][:, None, None]
+
+    # forward of: s = R(theta) @ o / scale + c + t, then flip on s.x
+    px = jnp.where(flip > 0, (w - 1) - corner_x, corner_x)
+    dx = px - cx_i - tx
+    dy = corner_y - cy_i - ty
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    ox = (cos_t * dx + sin_t * dy) * scale + cx_i
+    oy = (-sin_t * dx + cos_t * dy) * scale + cy_i
+
+    x0 = jnp.clip(jnp.min(ox, -1), -0.5, w - 0.5)
+    x1 = jnp.clip(jnp.max(ox, -1), -0.5, w - 0.5)
+    y0 = jnp.clip(jnp.min(oy, -1), -0.5, h - 0.5)
+    y1 = jnp.clip(jnp.max(oy, -1), -0.5, h - 0.5)
+
+    eps = 1e-3
+    keep = (valid > 0) & ((x1 - x0) > eps) & ((y1 - y0) > eps)
+
+    nx = ((x0 + x1) / 2.0 + 0.5) / w
+    ny = ((y0 + y1) / 2.0 + 0.5) / h
+    nw = (x1 - x0) / w
+    nh = (y1 - y0) / h
+    newlab = jnp.stack([nx, ny, nw, nh, lab[..., 4]], axis=-1)
+    newlab = jnp.where(keep[..., None], newlab, 0.0)
+
+    # stable compaction: dropped rows sink to the back, survivors keep
+    # their relative order (first x==0 still terminates the truth list)
+    order = jnp.argsort(~keep, axis=1, stable=True)  # (N,B)
+    newlab = jnp.take_along_axis(newlab, order[..., None], axis=1)
+    return newlab.reshape(n, B * 5)
+
+
+def augment_batch_with_boxes(
+    batch_u8: jax.Array, labels: jax.Array, rng: jax.Array, cfg: Dict,
+    norm_coeff: float = 1 / 127.5, mean: float = 127.5,
+):
+    """Detection-safe device augmentation: images through the full device
+    pipeline, box labels through the SAME per-image affine map. Perlin
+    distortion moves pixels in a way no box transform can represent, so
+    it is rejected here (the host reference never combines them either:
+    the detection loader only flips, DetectionListLoader)."""
+    if float(cfg.get("max_distortion", 0.0)) > 0.0:
+        raise ValueError(
+            "max_distortion is not representable as a box transform; "
+            "disable perlin distortion for detection training"
+        )
+    x = batch_u8.astype(jnp.float32)
+    n = x.shape[0]
+    cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
+    params = sample_params(rng, n, cfg)
+    out = jax.vmap(_augment_one)(x, params)
+    newlab = transform_boxes(labels, params, x.shape[1], x.shape[2])
+    return (out - mean) * norm_coeff, newlab
+
+
+def augment_batch_with_boxes_nchw(batch_u8_nchw, labels, rng, cfg, **kw):
+    x = jnp.transpose(batch_u8_nchw, (0, 2, 3, 1))
+    out, lab = augment_batch_with_boxes(x, labels, rng, cfg, **kw)
+    return jnp.transpose(out, (0, 3, 1, 2)), lab
 
 
 def augment_batch_nchw(batch_u8_nchw, rng, cfg, **kw):

@@ -72,3 +72,192 @@ def test_jit_compatible_and_deterministic():
     np.testing.assert_array_equal(a, b)
     c = np.asarray(fn(x, jax.random.PRNGKey(8)))
     assert not np.array_equal(a, c)
+
+
+def test_perlin_device_matches_host():
+    """Same seed/params -> the device perlin must reproduce the host bip
+    port (identical hash + geometry; host rounds through uint8, so
+    tolerance is 1 level)."""
+    from bcnn_tpu.bip.ops import perlin_distortion
+    from bcnn_tpu.data.device_augment import _perlin_one
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(24, 20, 3) * 255).astype(np.uint8)
+    for seed, d, kx, ky in [(7, 0.08, 0.1, -0.3), (123, 0.2, -0.5, 0.4)]:
+        host = perlin_distortion(img, d, kx, ky, seed).astype(np.float32)
+        dev = np.asarray(
+            _perlin_one(
+                jnp.asarray(img, jnp.float32),
+                jnp.float32(d), jnp.float32(kx), jnp.float32(ky),
+                jnp.int32(seed),
+            )
+        )
+        assert np.abs(host - dev).max() <= 1.0 + 1e-3, (
+            seed, np.abs(host - dev).max()
+        )
+
+
+def test_spotlights_device_matches_host():
+    from bcnn_tpu.bip.ops import add_random_spotlights
+    from bcnn_tpu.data.device_augment import _spotlights_one
+
+    rng = np.random.RandomState(5)
+    img = (rng.rand(16, 16, 1) * 100).astype(np.uint8)
+    # draw the host's own random sequence, then feed identical spot params
+    # to the device kernel
+    r2 = np.random.RandomState(5)
+    host = add_random_spotlights(img, 3, 0.3, 3.0, 0.3, 3.0, r2)
+    r3 = np.random.RandomState(5)
+    mu_x, mu_y, sx, sy = [], [], [], []
+    for _ in range(3):
+        mu_x.append(int(r3.rand() * (16 - 1) + 0.5))
+        mu_y.append(int(r3.rand() * (16 - 1) + 0.5))
+        sx.append(r3.rand() * (3.0 - 0.3) + 0.3 + 0.5)
+        sy.append(r3.rand() * (3.0 - 0.3) + 0.3 + 0.5)
+    dev = np.asarray(
+        _spotlights_one(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(mu_x, jnp.float32), jnp.asarray(mu_y, jnp.float32),
+            jnp.asarray(sx, jnp.float32), jnp.asarray(sy, jnp.float32),
+            jnp.ones((3,), jnp.float32),
+        )
+    )
+    assert np.abs(host.astype(np.float32) - dev).max() <= 1.0 + 1e-3
+
+
+def test_full_cfg_augment_runs_jitted():
+    from bcnn_tpu.data.device_augment import augment_batch
+
+    cfg = dict(
+        random_fliph=1, rotation_range=20.0, range_shift_x=3,
+        range_shift_y=3, min_scale=0.9, max_scale=1.1,
+        min_contrast=0.8, max_contrast=1.2, min_brightness=-20,
+        max_brightness=20, max_distortion=0.1, max_random_spots=3,
+    )
+    fn = jax.jit(lambda x, k: augment_batch(x, k, cfg=cfg))
+    x = jnp.asarray(
+        (np.random.RandomState(3).rand(4, 20, 20, 3) * 255).astype(
+            np.uint8
+        )
+    )
+    out = np.asarray(fn(x, jax.random.PRNGKey(0)))
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    assert out.min() >= -1 - 1e-5 and out.max() <= 1 + 1e-5
+
+
+def _bright_box_label(x_, y_, w_, h_, cls=1.0):
+    from bcnn_tpu.types import DETECTION_MAX_BOXES as B
+
+    lab = np.zeros((1, B * 5), np.float32)
+    lab[0, 0:5] = [x_, y_, w_, h_, cls]
+    return lab
+
+
+def test_boxes_follow_image_geometry():
+    """Self-consistency: draw a bright rectangle exactly under the box
+    label, augment with a geometry-only cfg, and re-locate the bright
+    pixels in the augmented image — they must sit inside (and tightly
+    fill) the transformed box."""
+    from bcnn_tpu.data.device_augment import augment_batch_with_boxes
+    from bcnn_tpu.types import DETECTION_MAX_BOXES as B
+
+    H = W = 48
+    cfg = dict(
+        random_fliph=1, rotation_range=40.0, range_shift_x=8,
+        range_shift_y=8, min_scale=0.8, max_scale=1.2,
+    )
+    for trial in range(8):
+        img = np.zeros((1, H, W, 1), np.uint8)
+        # box at (0.4, 0.55), size (0.25, 0.2) normalized
+        bx, by, bw, bh = 0.4, 0.55, 0.25, 0.2
+        x0 = int(round((bx - bw / 2) * W))
+        x1 = int(round((bx + bw / 2) * W))
+        y0 = int(round((by - bh / 2) * H))
+        y1 = int(round((by + bh / 2) * H))
+        img[0, y0:y1, x0:x1, 0] = 255
+        lab = _bright_box_label(bx, by, bw, bh)
+        out, newlab = augment_batch_with_boxes(
+            jnp.asarray(img), jnp.asarray(lab),
+            jax.random.PRNGKey(trial), cfg,
+            norm_coeff=1.0, mean=0.0,  # keep raw pixel values
+        )
+        out = np.asarray(out)[0, :, :, 0]
+        nl = np.asarray(newlab).reshape(B, 5)[0]
+        ys, xs = np.where(out > 128)
+        if nl[0] == 0:  # box dropped -> bright area must be (mostly) gone
+            assert len(ys) < 0.1 * (x1 - x0) * (y1 - y0)
+            continue
+        gx0, gx1 = (xs.min() + 0.0) / W, (xs.max() + 1.0) / W
+        gy0, gy1 = (ys.min() + 0.0) / H, (ys.max() + 1.0) / H
+        lx0, lx1 = nl[0] - nl[2] / 2, nl[0] + nl[2] / 2
+        ly0, ly1 = nl[1] - nl[3] / 2, nl[1] + nl[3] / 2
+        tol = 2.5 / W  # bilinear smear + envelope slack
+        assert lx0 <= gx0 + tol and gx1 - tol <= lx1, (
+            trial, (lx0, lx1), (gx0, gx1)
+        )
+        assert ly0 <= gy0 + tol and gy1 - tol <= ly1, (
+            trial, (ly0, ly1), (gy0, gy1)
+        )
+        # envelope is tight up to rotation slack: the bright region fills
+        # a decent fraction of the box
+        frac = len(ys) / max(1.0, (lx1 - lx0) * W * (ly1 - ly0) * H)
+        assert frac > 0.4, (trial, frac)
+        assert nl[4] == 1.0  # class preserved
+
+
+def test_box_compaction_preserves_terminator_semantics():
+    """A middle box that leaves the frame must not hide later boxes:
+    survivors compact to the front."""
+    from bcnn_tpu.data.device_augment import sample_params, transform_boxes
+    from bcnn_tpu.types import DETECTION_MAX_BOXES as B
+
+    lab = np.zeros((1, B * 5), np.float32)
+    lab[0, 0:5] = [0.5, 0.5, 0.2, 0.2, 1]   # stays
+    lab[0, 5:10] = [0.02, 0.02, 0.02, 0.02, 2]  # shifted out of frame
+    lab[0, 10:15] = [0.6, 0.6, 0.2, 0.2, 3]  # stays
+    params = dict(
+        theta=jnp.zeros((1,)), scale=jnp.ones((1,)),
+        tx=jnp.full((1,), 10.0), ty=jnp.full((1,), 10.0),
+        flip=jnp.zeros((1,)), contrast=jnp.ones((1,)),
+        brightness=jnp.zeros((1,)),
+    )
+    # forward shift is -t in output coords: boxes move by (-10,-10) px
+    out = np.asarray(transform_boxes(jnp.asarray(lab), params, 48, 48))
+    out = out.reshape(B, 5)
+    assert out[0, 4] == 1 and out[1, 4] == 3, out[:3]
+    assert out[2, 0] == 0  # terminator right after the survivors
+
+
+def test_detection_train_step_with_device_augment():
+    """End-to-end: tiny yolo net + device augmentation with boxes inside
+    the jitted train step; loss finite, and perlin+detection rejected."""
+    import pytest
+
+    from bcnn_tpu import Mode, Session
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.models import yolov3_tiny
+    from bcnn_tpu.types import DETECTION_MAX_BOXES
+
+    net = yolov3_tiny(batch_size=2, width=64, height=64, classes=4,
+                      mode=Mode.TRAIN)
+    cfg = dict(random_fliph=1, range_shift_x=4, min_scale=0.9,
+               max_scale=1.1)
+    step = make_train_step(net, device_augment=cfg)
+    sess = Session(net, seed=0).compile_net()
+    x = (np.random.RandomState(0).rand(2, 3, 64, 64) * 255).astype(
+        np.float32
+    )
+    lab = np.zeros((2, DETECTION_MAX_BOXES * 5), np.float32)
+    lab[:, 0:5] = [0.5, 0.5, 0.25, 0.25, 1]
+    params, state, opt, loss = step(
+        sess.params, sess.state, sess.opt_state,
+        {"input": jnp.asarray(x), "label": jnp.asarray(lab)},
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))
+
+    with pytest.raises(ValueError, match="max_distortion"):
+        make_train_step(
+            net, device_augment=dict(cfg, max_distortion=0.1)
+        )
