@@ -73,6 +73,50 @@ def make_dp_train_step(net: Net, mesh: Mesh):
     )
 
 
+def make_dp_train_scan(net: Net, mesh: Mesh):
+    """Multi-step data-parallel training in ONE device program: lax.scan
+    over train steps composed with batch sharding over the mesh — the
+    documented multi-chip training recipe. Batches are staged as
+    (K, B, ...) with the PER-STEP batch axis sharded; params replicated;
+    GSPMD all-reduces grads over ICI inside every scan iteration. On a
+    tunneled chip this also amortizes the per-step dispatch RTT like the
+    single-device make_train_scan."""
+    from ..learner import apply_updates
+
+    repl = NamedSharding(mesh, P())
+    # (K, B, ...): leading scan axis unsharded, batch axis sharded
+    ksh = NamedSharding(mesh, P(None, BATCH_AXIS))
+
+    def loss_fn(params, state, batch, rng):
+        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
+        return ex.surrogate, (ex.state, get_loss(ex))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def core(params, state, opt_state, xs_in, xs_lab, rng):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            x, y, key = xs
+            (_, (state2, loss)), grads = grad_fn(
+                params, state, {"input": x, "label": y}, key
+            )
+            params2, opt2 = apply_updates(net, params, grads, opt_state)
+            return (params2, state2, opt2), loss
+
+        keys = jax.random.split(rng, xs_in.shape[0])
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), (xs_in, xs_lab, keys)
+        )
+        return params, state, opt_state, losses
+
+    return jax.jit(
+        core,
+        in_shardings=(repl, repl, repl, ksh, ksh, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
 def make_spatial_forward(net: Net, mesh: Mesh, output_names,
                          axis: str = BATCH_AXIS):
     """Spatial partitioning: shard the image HEIGHT across the mesh —

@@ -156,3 +156,87 @@ def test_dp_multiple_steps_converge(mesh8):
         p, st, o, loss = step(p, st, o, bt, k)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_dp_train_scan_matches_single_device_scan(mesh8):
+    """scan + DP compose: K steps in one device program over the 8-device
+    mesh must track the single-device make_train_scan trajectory."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu.compile import make_train_scan
+    from bcnn_tpu.parallel import make_dp_train_scan
+
+    K, batch = 4, 16
+    rng = np.random.RandomState(3)
+    xs = np.stack([_batch(rng, batch)[0] for _ in range(K)])
+    rng = np.random.RandomState(3)
+    ys = np.stack([_batch(rng, batch)[1] for _ in range(K)])
+
+    def run(parallel):
+        net = lenet_mnist(batch_size=batch)
+        net.set_sgd_optimizer(0.05, 0.9)
+        sess = Session(net, seed=0).compile_net()
+        key = jax.random.PRNGKey(0)
+        if parallel:
+            step = make_dp_train_scan(net, mesh8)
+            params = replicate(mesh8, sess.params)
+            state = replicate(mesh8, sess.state)
+            opt = replicate(mesh8, sess.opt_state)
+            # batches are (K, B, ...): shard the PER-STEP batch axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ksh = NamedSharding(mesh8, P(None, "batch"))
+            bx = jax.device_put(jnp.asarray(xs), ksh)
+            by = jax.device_put(jnp.asarray(ys), ksh)
+            params, state, opt, losses = step(
+                params, state, opt, bx, by, key
+            )
+        else:
+            step = make_train_scan(net)
+            params, state, opt, losses = step(
+                sess.params, sess.state, sess.opt_state,
+                {"input": jnp.asarray(xs), "label": jnp.asarray(ys)}, key,
+            )
+        return jax.tree.map(np.asarray, params), np.asarray(losses)
+
+    p1, l1 = run(False)
+    p8, l8 = run(True)
+    np.testing.assert_allclose(l1, l8, rtol=1e-5, atol=1e-7)
+    # Param trajectories diverge chaotically from GSPMD reduction
+    # re-association (measured: 1.3e-7 at K=1, 1.6e-4 at K=2, 1.3e-3 at
+    # K=4 — growth with K, while per-step losses stay bit-identical). A
+    # real DP bug (missing grad sync, wrong psum) shows O(1) error at
+    # K=1, which the tight single-step test above catches.
+    for k in p1:
+        np.testing.assert_allclose(
+            p1[k], p8[k], rtol=1e-2, atol=5e-3, err_msg=k
+        )
+
+
+def test_multihost_helpers_single_process(mesh8):
+    """multihost.host_local_batch / process_batch_slice run in plain
+    single-process mode (process_count==1): the local slice IS the global
+    batch, and the assembled arrays are batch-sharded over the mesh."""
+    from bcnn_tpu.parallel import multihost
+
+    start, size = multihost.process_batch_slice(32)
+    assert (start, size) == (0, 32)
+
+    x = np.random.RandomState(0).randn(16, 1, 8, 8).astype(np.float32)
+    y = np.zeros((16, 10), np.float32)
+    batch = multihost.host_local_batch(mesh8, x, y)
+    assert batch["input"].shape == (16, 1, 8, 8)
+    np.testing.assert_array_equal(np.asarray(batch["input"]), x)
+    # sharded over the batch axis: each device holds 16/8 = 2 samples
+    shard_shapes = {
+        s.data.shape for s in batch["input"].addressable_shards
+    }
+    assert shard_shapes == {(2, 1, 8, 8)}
+
+
+def test_multihost_global_mesh_single_process():
+    from bcnn_tpu.parallel import multihost
+
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == jax.device_count()
+    assert mesh.axis_names == ("batch",)
