@@ -11,12 +11,16 @@ Port of tools/tflite_converter/bcnn2tflite.cc: the op mapping
   MUL/ADD pair (inference export). NCHW<->NHWC weight handling is done by
   the framework's own layouts.
 
-Instead of hand-writing the flatbuffer (the reference vendors a frozen
-flatbuffers 3.1K-LoC copy), the graph is rebuilt as a tf.function and
-serialized through TensorFlow's TFLite converter, then validated with the
-TFLite interpreter against the framework's own forward.
+Two backends:
+  - TensorFlow (default when importable): graph rebuilt as a tf.function
+    and serialized through tf.lite.TFLiteConverter — gains TF's own
+    validation and op coverage (incl. the YOLO activated head).
+  - Direct flatbuffer (tools/tflite_writer.py, like the reference's
+    vendored-flatbuffers writer): no TF dependency, survives TF API
+    drift. Used automatically when TF is absent, or forced with
+    --direct. Interpreter-validated in tests when TF is present.
 
-Usage: python tools/bcnn2tflite.py <conf> <weights> <out.tflite>
+Usage: python tools/bcnn2tflite.py <conf> <weights> <out.tflite> [--direct]
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_tf_forward(net, params, state):
@@ -228,7 +233,21 @@ def build_tf_forward(net, params, state):
     return forward
 
 
-def convert_net(net, params, state, out_path: str) -> bytes:
+def convert_net(net, params, state, out_path: str,
+                backend: str = "auto") -> bytes:
+    """backend: 'auto' (TF when importable, else direct), 'tf', 'direct'."""
+    if backend == "auto":
+        try:
+            import tensorflow  # noqa: F401
+
+            backend = "tf"
+        except ImportError:
+            backend = "direct"
+    if backend == "direct":
+        from tflite_writer import write_tflite
+
+        return write_tflite(net, params, state, out_path)
+
     import tensorflow as tf
 
     t0 = net.tensors[0]
@@ -248,17 +267,22 @@ def convert_net(net, params, state, out_path: str) -> bytes:
 
 
 def main(argv):
-    if len(argv) < 4:
-        print("Usage: bcnn2tflite.py <conf> <weights> <out.tflite>")
+    args = [a for a in argv if a != "--direct"]
+    backend = "direct" if "--direct" in argv else "auto"
+    if len(args) < 4:
+        print(
+            "Usage: bcnn2tflite.py <conf> <weights> <out.tflite> "
+            "[--direct]"
+        )
         return 1
     from bcnn_tpu import Mode, Net, Session
     from bcnn_tpu.config import load_net
 
     net = Net(Mode.PREDICT)
-    load_net(net, argv[1], argv[2])
+    load_net(net, args[1], args[2])
     sess = Session(net, 0).compile_net()
-    convert_net(net, sess.params, sess.state, argv[3])
-    print(f"wrote {argv[3]}")
+    convert_net(net, sess.params, sess.state, args[3], backend=backend)
+    print(f"wrote {args[3]}")
     return 0
 
 
