@@ -325,3 +325,267 @@ def add_random_spotlights(
         )
         out = np.clip(out + 255.0 * val[..., None], 0, 255)
     return out.astype(np.uint8)
+
+
+# ------------------------------------------------------------------ #
+# CV extras round 2: the bip.h long tail (SURVEY "port only as needed"
+# -> judged as a gap; everything below is cross-checked against the
+# reference semantics in tests/test_bip_extra.py)
+# ------------------------------------------------------------------ #
+
+
+def rgb2gray(src: np.ndarray) -> np.ndarray:
+    """bip_rgb2gray (bip.c:63-82): fixed-point equal-weight gray,
+    w = round(0.333*4096), (w*(r+g+b) + 2048) >> 12. HWC(3) -> HW1."""
+    w = int(0.333 * (1 << 12) + 0.5)
+    s = src.astype(np.int32)
+    g = (w * s[:, :, 0] + w * s[:, :, 1] + w * s[:, :, 2] + (1 << 11)) >> 12
+    return g.astype(np.uint8)[:, :, None]
+
+
+def invert_image(src: np.ndarray) -> np.ndarray:
+    """bip_invert_image (bip.c:1293): bitwise NOT."""
+    return np.bitwise_not(src)
+
+
+def pyramid_up(src: np.ndarray) -> np.ndarray:
+    """bip_pyramid_up (bip.c:386-416): 2x nearest-neighbor upsample,
+    single channel."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    return np.repeat(np.repeat(src, 2, 0), 2, 1)[:, :, None]
+
+
+def mirror_borders(src: np.ndarray, top: int, bottom: int, left: int,
+                   right: int) -> np.ndarray:
+    """bip_mirror_borders_8u (bip.c:418-470): symmetric padding (border
+    pixel included in the reflection)."""
+    return np.pad(
+        src, ((top, bottom), (left, right), (0, 0)), mode="symmetric"
+    )
+
+
+def image_histogram(src: np.ndarray) -> np.ndarray:
+    """bip_image_histogram (bip.c:982): 256-bin uint32 histogram
+    (single-channel)."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    return np.bincount(src.ravel(), minlength=256).astype(np.uint32)
+
+
+def image_entropy(src: np.ndarray) -> float:
+    """bip_image_entropy (bip.c:1013-1031): Shannon entropy in bits,
+    computed exactly as the reference (natural log * BIP_LOG2)."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    h = image_histogram(src).astype(np.float32)
+    norm = np.float32(1.0 / (src.shape[0] * src.shape[1]))
+    nz = h[h > 0]
+    s = -np.sum(norm * nz * np.log(nz * norm), dtype=np.float32)
+    return float(s * np.float32(1.4426950408889))
+
+
+def image_square_integral(src: np.ndarray):
+    """bip_image_square_integral (bip.c:558-599): (h+1,w+1) uint32 sum
+    table + float64 sum-of-squares table, zero first row/column."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    h, w = src.shape
+    s = np.zeros((h + 1, w + 1), np.uint32)
+    sq = np.zeros((h + 1, w + 1), np.float64)
+    np.cumsum(
+        np.cumsum(src.astype(np.uint32), 0), 1, out=s[1:, 1:]
+    )
+    np.cumsum(
+        np.cumsum(src.astype(np.float64) ** 2, 0), 1, out=sq[1:, 1:]
+    )
+    return s, sq
+
+
+def _window_sums(table, w2, h2, height, width):
+    ys, xs = np.mgrid[0:height, 0:width]
+    min_x = np.maximum(xs - w2, 0)
+    min_y = np.maximum(ys - h2, 0)
+    max_x = np.minimum(xs + w2, width - 1)
+    max_y = np.minimum(ys + h2, height - 1)
+    area = (max_x - min_x + 1) * (max_y - min_y + 1)
+    tot = (
+        table[max_y + 1, max_x + 1].astype(np.float64)
+        - table[min_y, max_x + 1]
+        - table[max_y + 1, min_x]
+        + table[min_y, min_x]
+    )
+    return tot, area
+
+
+def image_sliding_mean(src: np.ndarray, kernel_w: int,
+                       kernel_h: int) -> np.ndarray:
+    """bip_image_sliding_mean (bip.c:600-745): box mean over the window
+    CLIPPED to the image, integer (truncating) division like the C."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[:, :, 0]
+    h, w = src.shape
+    table = image_integral(src)
+    tot, area = _window_sums(table, kernel_w // 2, kernel_h // 2, h, w)
+    mean = (tot // area).astype(np.int64)
+    out = np.clip(mean, 0, 255).astype(np.uint8)
+    return out[:, :, None] if squeeze else out
+
+
+def image_sliding_mean_variance(src: np.ndarray, kernel_w: int,
+                                kernel_h: int):
+    """bip_image_sliding_mean_variance (bip.c:746-981): clipped-window
+    mean (uint8, truncated like the C int division) and variance
+    E[x^2] - mean^2 where mean is the TRUNCATED integer (reference
+    quirk preserved)."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[:, :, 0]
+    h, w = src.shape
+    s, sq = image_square_integral(src)
+    tot, area = _window_sums(s, kernel_w // 2, kernel_h // 2, h, w)
+    mean_i = (tot // area).astype(np.int64)
+    tot_sq, _ = _window_sums(sq, kernel_w // 2, kernel_h // 2, h, w)
+    var = tot_sq / area - mean_i.astype(np.float64) ** 2
+    mean = np.clip(mean_i, 0, 255).astype(np.uint8)
+    if squeeze:
+        mean = mean[:, :, None]
+    return mean, var
+
+
+def lbp_estimate(src: np.ndarray) -> np.ndarray:
+    """bip_lbp_estimate (bip.c:1392-1425): 8-bit local binary pattern,
+    neighbor >= center, bit order NW,N,NE,E,SE,S,SW,W; borders zero."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[:, :, 0]
+    h, w = src.shape
+    out = np.zeros((h, w), np.uint8)
+    c = src[1:-1, 1:-1]
+    bits = (
+        ((src[0:-2, 0:-2] >= c).astype(np.uint8) << 0)
+        | ((src[0:-2, 1:-1] >= c).astype(np.uint8) << 1)
+        | ((src[0:-2, 2:] >= c).astype(np.uint8) << 2)
+        | ((src[1:-1, 2:] >= c).astype(np.uint8) << 3)
+        | ((src[2:, 2:] >= c).astype(np.uint8) << 4)
+        | ((src[2:, 1:-1] >= c).astype(np.uint8) << 5)
+        | ((src[2:, 0:-2] >= c).astype(np.uint8) << 6)
+        | ((src[1:-1, 0:-2] >= c).astype(np.uint8) << 7)
+    )
+    out[1:-1, 1:-1] = bits
+    return out[:, :, None] if squeeze else out
+
+
+# uniform-pattern LUT, verbatim from bip_lbp_histogram_features
+# (bip.c:1434-1450)
+_LBP_UNIFORM_LUT = np.asarray([
+    0, 1, 2, 3, 4, 58, 5, 6, 7, 58, 58, 58, 8, 58, 9, 10, 11, 58,
+    58, 58, 58, 58, 58, 58, 12, 58, 58, 58, 13, 58, 14, 15, 16, 58, 58, 58,
+    58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 17, 58, 58, 58, 58, 58,
+    58, 58, 18, 58, 58, 58, 19, 58, 20, 21, 22, 58, 58, 58, 58, 58, 58, 58,
+    58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58,
+    58, 58, 58, 58, 58, 58, 23, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58,
+    58, 58, 58, 58, 24, 58, 58, 58, 58, 58, 58, 58, 25, 58, 58, 58, 26, 58,
+    27, 28, 29, 30, 58, 31, 58, 58, 58, 32, 58, 58, 58, 58, 58, 58, 58, 33,
+    58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 34, 58, 58,
+    58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58,
+    58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 58, 35, 36, 37, 58, 38, 58, 58,
+    58, 39, 58, 58, 58, 58, 58, 58, 58, 40, 58, 58, 58, 58, 58, 58, 58, 58,
+    58, 58, 58, 58, 58, 58, 58, 41, 42, 43, 58, 44, 58, 58, 58, 45, 58, 58,
+    58, 58, 58, 58, 58, 46, 47, 48, 58, 49, 58, 58, 58, 50, 51, 52, 58, 53,
+    54, 55, 56, 57,
+], np.uint8)
+
+
+def lbp_histogram_features(src: np.ndarray, norm: bool = False,
+                           uniform: bool = False) -> np.ndarray:
+    """bip_lbp_histogram_features (bip.c:1427-1490): histogram of an
+    LBP image; 256 bins, or 59 uniform-pattern bins via the LUT;
+    optionally normalized by the pixel count."""
+    if src.ndim == 3:
+        src = src[:, :, 0]
+    vals = _LBP_UNIFORM_LUT[src.ravel()] if uniform else src.ravel()
+    bins = 59 if uniform else 256
+    h = np.bincount(vals, minlength=bins)[:bins].astype(np.float32)
+    if norm:
+        h /= src.size
+    return h
+
+
+def median_3x3(src: np.ndarray) -> np.ndarray:
+    """bip_median_3x3 (bip.c:1587-1731): 3x3 median with the reference's
+    exact border scheme — first/last ROW use vertical edge replication,
+    first/last COLUMN of every row are copied from src."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[:, :, 0]
+    padded = np.pad(src, ((1, 1), (0, 0)), mode="edge")
+    stack = np.stack([
+        padded[dy : dy + src.shape[0], :][:, dx_slice]
+        for dy in (0, 1, 2)
+        for dx_slice in (slice(0, -2), slice(1, -1), slice(2, None))
+    ])
+    med = np.median(stack, axis=0).astype(np.uint8)
+    out = src.copy()
+    out[:, 1:-1] = med
+    out[:, 0] = src[:, 0]
+    out[:, -1] = src[:, -1]
+    return out[:, :, None] if squeeze else out
+
+
+def gaussian_blur_3x3(src: np.ndarray) -> np.ndarray:
+    """bip_gaussian_blur_3x3 (bip.c:1733-1820): separable [1,2,1]^2/16
+    with edge replication, integer rounding (+8 >> 4)."""
+    squeeze = src.ndim == 2
+    if squeeze:
+        src = src[:, :, None]
+    p = np.pad(src, ((1, 1), (1, 1), (0, 0)), mode="edge").astype(np.int32)
+    h, w, _ = src.shape
+    k = [(1, 0, 0), (2, 0, 1), (1, 0, 2),
+         (2, 1, 0), (4, 1, 1), (2, 1, 2),
+         (1, 2, 0), (2, 2, 1), (1, 2, 2)]
+    acc = np.zeros_like(p[1 : 1 + h, 1 : 1 + w])
+    for wgt, dy, dx in k:
+        acc += wgt * p[dy : dy + h, dx : dx + w]
+    out = ((acc + 8) >> 4).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def load_image_from_memory(data: bytes) -> np.ndarray:
+    """bip_load_image_from_memory: decode from an in-memory buffer."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def write_image_to_memory(img: np.ndarray, fmt: str = "PNG") -> bytes:
+    import io
+
+    from PIL import Image
+
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def write_float_image(path: str, img: np.ndarray,
+                      normalize: bool = False) -> None:
+    """bip_write_float_image[_norm]: float image -> u8 PNG; norm maps
+    [min,max] to [0,255], otherwise values are clamped."""
+    f = np.asarray(img, np.float32)
+    if normalize:
+        lo, hi = float(f.min()), float(f.max())
+        f = (f - lo) / (hi - lo) * 255.0 if hi > lo else f * 0
+    u8 = np.clip(f, 0, 255).astype(np.uint8)
+    write_image(path, u8)
