@@ -199,7 +199,15 @@ class Session:
             self.net, self.params, self.state, self._cur_batch,
             self.net.mode, sub,
         )
-        self._cur_values = ex.values
+        # dequantize any int8-flow tensors so get_tensor_value stays fp32
+        self._cur_values = {
+            i: (
+                v.astype(jnp.float32) * ex.int8_flow[i]
+                if v.dtype == jnp.int8
+                else v
+            )
+            for i, v in ex.values.items()
+        }
         if self.net.mode == Mode.TRAIN:
             self.state = ex.state
         self._cur_loss = compile_mod.get_loss(ex)
@@ -416,10 +424,7 @@ def _make_predict(net: Net, output_names, mode: Mode):
     @jax.jit
     def predict(params, state, batch):
         ex = execute(net, params, state, batch, mode, None)
-        outs = []
-        for i in out_idx:
-            v = ex.values[i]
-            outs.append(nhwc_to_nchw(v) if v.ndim == 4 else v)
+        outs = [compile_mod.output_value(ex, i) for i in out_idx]
         return tuple(outs), get_loss(ex)
 
     return predict

@@ -102,6 +102,17 @@ class _Executor:
         self.act_dtype = (
             getattr(net, "act_dtype", None) if mode == Mode.PREDICT else None
         )
+        # int8 activation flow: tensors whose HBM dtype can be int8 end to
+        # end (bit-identical results — see ops/quant.py plan_int8_flow).
+        # Producers requantize in their fused epilogue; pass-through ops
+        # (maxpool/upsample/copy-concat/dropout) operate on int8 directly;
+        # quantized consumers skip their input quantize.
+        quant = getattr(net, "quant", None)
+        self.int8_flow: Dict[int, float] = {}
+        if quant and mode == Mode.PREDICT and quant.get("act_flow", True):
+            from .ops.quant import plan_int8_flow
+
+            self.int8_flow = plan_int8_flow(net, quant)
 
     def key_of(self, idx: int) -> str:
         return self.net.tensors[idx].key
@@ -163,16 +174,33 @@ class _Executor:
             return None
         return wq, sx
 
+    def _quant_in(self, x, sx):
+        """int8-flow input: already int8 (plan guarantees the scale is
+        exactly sx), else quantize here."""
+        from .ops.quant import quantize_tensor
+
+        return x if x.dtype == jnp.int8 else quantize_tensor(x, sx)
+
+    def _maybe_emit_int8(self, node: Node, y):
+        """Requantize this node's output inside its fused epilogue when
+        the flow plan says every consumer reads int8."""
+        s = self.int8_flow.get(node.dst[0])
+        if s is None:
+            return y
+        from .ops.quant import quantize_tensor
+
+        return quantize_tensor(y, s)
+
     def _conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
         q = self._quant_entry(node)
         if q is not None:
-            from .ops.quant import conv2d_int8, quantize_tensor
+            from .ops.quant import conv2d_int8
 
             wq, sx = q
             y = conv2d_int8(
-                quantize_tensor(x, sx), wq["q"], sx, wq["scale"],
+                self._quant_in(x, sx), wq["q"], sx, wq["scale"],
                 p["stride"], p["pad"], p["num_groups"],
             )
         else:
@@ -189,18 +217,18 @@ class _Executor:
         extra = {"mean": 3, "var": 4, "scales": 5}
         extra["slopes"] = 6 if p.get("batch_norm") else 3
         y = self._apply_conv_epilogue(node, y, rng, node.src[2], extra)
-        self.values[node.dst[0]] = y
+        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
 
     def _depthwise_conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
         q = self._quant_entry(node)
         if q is not None:
-            from .ops.quant import conv2d_int8, quantize_tensor
+            from .ops.quant import conv2d_int8
 
             wq, sx = q
             y = conv2d_int8(
-                quantize_tensor(x, sx), wq["q"], sx, wq["scale"],
+                self._quant_in(x, sx), wq["q"], sx, wq["scale"],
                 p["stride"], p["pad"], groups=x.shape[-1],
             )
         else:
@@ -213,18 +241,18 @@ class _Executor:
         # reference wires no BN tensors for it)
         y = y + self.p(node.src[2]).astype(y.dtype)
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = y
+        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
 
     def _transpose_conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
         q = self._quant_entry(node)
         if q is not None:
-            from .ops.quant import conv2d_transpose_int8, quantize_tensor
+            from .ops.quant import conv2d_transpose_int8
 
             wq, sx = q
             y = conv2d_transpose_int8(
-                quantize_tensor(x, sx), wq["q"], sx, wq["scale"],
+                self._quant_in(x, sx), wq["q"], sx, wq["scale"],
                 p["stride"], p["pad"],
             )
         else:
@@ -234,21 +262,21 @@ class _Executor:
             )
         y = y + self.p(node.src[2])
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = y
+        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
 
     def _full_connected(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
         q = self._quant_entry(node)
         if q is not None:
-            from .ops.quant import fc_int8, quantize_tensor
+            from .ops.quant import fc_int8
 
             wq, sx = q
             n = x.shape[0]
             if x.ndim == 4:
                 x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW flatten order
             xf = x.reshape(n, -1)
-            y = fc_int8(quantize_tensor(xf, sx), wq["q"], sx, wq["scale"])
+            y = fc_int8(self._quant_in(xf, sx), wq["q"], sx, wq["scale"])
             y = (y + self.p(node.src[2])).reshape(n, 1, 1, -1)
         else:
             y = ops.full_connected(
@@ -256,7 +284,7 @@ class _Executor:
                 self.compute_dtype,
             )
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = y
+        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
 
     def _activation(self, node: Node, rng):
         p = node.param
@@ -421,6 +449,15 @@ def execute(
     return ex.run()
 
 
+def output_value(ex: _Executor, i: int) -> jax.Array:
+    """Read tensor i for the host: int8-flow tensors dequantize with
+    their planned scale, 4-D activations return in reference NCHW."""
+    v = ex.values[i]
+    if v.dtype == jnp.int8:
+        v = v.astype(jnp.float32) * ex.int8_flow[i]
+    return nhwc_to_nchw(v) if v.ndim == 4 else v
+
+
 def get_loss(ex: _Executor) -> jax.Array:
     """bcnn_get_loss (bcnn_net.c:431-450): mean of cost/yolo node outputs."""
     if not ex.metrics:
@@ -435,11 +472,7 @@ def make_forward(net: Net, output_names, mode: Mode):
     @jax.jit
     def forward(params, state, inputs, rng=None):
         ex = execute(net, params, state, inputs, mode, rng)
-        outs = []
-        for i in out_idx:
-            v = ex.values[i]
-            outs.append(nhwc_to_nchw(v) if v.ndim == 4 else v)
-        return tuple(outs), ex.state
+        return tuple(output_value(ex, i) for i in out_idx), ex.state
 
     return forward
 

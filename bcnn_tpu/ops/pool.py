@@ -28,9 +28,20 @@ def maxpool(
     n, h, w, c = x.shape
     pad_h = max(0, (out_h - 1) * stride + size - h)
     pad_w = max(0, (out_w - 1) * stride + size - w)
+    # identity for max: -inf, or the type minimum for ints (the int8
+    # activation-flow path pools quantized values directly — max commutes
+    # exactly with the monotone quantizer, ops/quant.py plan_int8_flow).
+    # init must be a CONCRETE scalar: a traced jnp value breaks the
+    # reduce_window VJP ("linearization failed").
+    import numpy as np
+
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        init = np.asarray(np.iinfo(x.dtype).min, x.dtype)
     return lax.reduce_window(
         x,
-        -jnp.inf,
+        init,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

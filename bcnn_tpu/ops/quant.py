@@ -147,3 +147,84 @@ def fc_int8(
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * (x_scale * w_scale)
+
+
+def plan_int8_flow(net, quant) -> Dict[int, float]:
+    """Static analysis for end-to-end int8 activations: which activation
+    tensors can live in HBM as int8 between layers.
+
+    The round-1 int8 path dequantized every conv output to fp32, so
+    inter-layer traffic stayed 4 B/px plus an extra int8 copy at each
+    consumer (the +16%-only speedup of BENCHMARKS.md round 1). This plan
+    lets the conv epilogue EMIT int8 directly and lets consumers read it
+    as-is: tensor t is int8-viable with scale s iff every consumer is
+    (a) a quantized conv/depthwise/deconv/FC reading t as data input
+        with calibrated scale s = act_scales[t], or
+    (b) an op that commutes EXACTLY with the monotone quantizer —
+        maxpool (max of rounded == rounded max), nearest upsample
+        (replication), single-source concat (copy), PREDICT dropout
+        (identity) — whose own output is int8-viable with the same s.
+    Because quantize-at-producer then equals quantize-at-consumer
+    value-for-value, the network outputs are BIT-IDENTICAL to the
+    round-1 int8 path; only the HBM dtype changes (4x fewer activation
+    bytes on the memory-bound backbone).
+    """
+    from ..types import LayerType as L
+
+    act_scales = quant["act_scales"]
+    weights = quant["weights"]
+
+    consumers: Dict[int, list] = {}
+    for node in net.nodes:
+        if node.type == L.CONCAT:
+            srcs = list(node.src)
+        elif node.type == L.ELTWISE:
+            srcs = list(node.src[:2])
+        elif node.src:
+            srcs = [node.src[0]]
+        else:
+            srcs = []
+        for s in srcs:
+            consumers.setdefault(s, []).append(node)
+
+    def quant_consumer_scale(c, t):
+        if c.type not in (
+            L.CONV2D, L.DEPTHWISE_CONV2D, L.TRANSPOSE_CONV2D,
+            L.FULL_CONNECTED,
+        ):
+            return None
+        if not c.src or c.src[0] != t:
+            return None
+        key = net.tensors[c.src[1]].key
+        if key not in weights or t not in act_scales:
+            return None
+        return act_scales[t]
+
+    allow_pass = quant.get("flow_pass", True)
+    viable: Dict[int, float] = {}
+    for node in reversed(net.nodes):
+        if not node.dst:
+            continue
+        d = node.dst[0]
+        cons = consumers.get(d, [])
+        if not cons:
+            continue  # graph output: keep fp32 for the host
+        req = []
+        ok = True
+        for c in cons:
+            s = quant_consumer_scale(c, d)
+            if s is not None:
+                req.append(s)
+                continue
+            passthrough = allow_pass and (
+                c.type in (L.MAXPOOL, L.UPSAMPLE, L.DROPOUT)
+                or (c.type == L.CONCAT and len(c.src) == 1)
+            )
+            if passthrough and c.dst and c.dst[0] in viable:
+                req.append(viable[c.dst[0]])
+                continue
+            ok = False
+            break
+        if ok and req and all(r == req[0] for r in req):
+            viable[d] = req[0]
+    return viable

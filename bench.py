@@ -44,7 +44,7 @@ def main():
     net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
     sess = Session(net, seed=0).compile_net()
-    if mode == "int8":
+    if mode in ("int8", "detect_int8"):
         from bcnn_tpu.ops.quant import calibrate, quantize_weights
 
         # sane BN stats for the random net, then PTQ calibration
@@ -64,7 +64,7 @@ def main():
         net.get_tensor_index_by_name("lid24"),
     ]
 
-    if mode == "detect":
+    if mode in ("detect", "detect_int8"):
         # full serving pipeline: forward + Pallas fused decode + device NMS
         from bcnn_tpu.ops.yolo import device_decode_nms
         from bcnn_tpu.ops.yolo_pallas import decode_fused
@@ -154,6 +154,7 @@ def main():
                 "metric": {
                     "detect": "yolov3_tiny_416_detect",
                     "int8": "yolov3_tiny_416_int8",
+                    "detect_int8": "yolov3_tiny_416_detect_int8",
                 }.get(mode, "yolov3_tiny_416_inference"),
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",

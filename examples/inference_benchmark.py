@@ -42,7 +42,22 @@ def build(args):
         net = builders[args.model]()
     if args.bf16:
         net.compute_dtype = jnp.bfloat16
-    return net, Session(net, seed=0).compile_net()
+    sess = Session(net, seed=0).compile_net()
+    if args.int8:
+        from bcnn_tpu.ops.quant import calibrate, quantize_weights
+
+        for k in list(sess.state):
+            if "run_var" in k:
+                sess.state[k] = jnp.ones_like(sess.state[k])
+        t0 = net.tensors[0]
+        calib = np.random.RandomState(1).rand(
+            min(4, t0.n), t0.c, t0.h, t0.w
+        ).astype(np.float32)
+        net.quant = {
+            "act_scales": calibrate(net, sess.params, sess.state, [calib]),
+            "weights": quantize_weights(net, sess.params),
+        }
+    return net, sess
 
 
 def main():
@@ -54,6 +69,7 @@ def main():
     ap.add_argument("--runs", type=int, default=20)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
 
     net, sess = build(args)
@@ -76,7 +92,11 @@ def main():
     @jax.jit
     def forward(params, state, x):
         ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
-        return tuple(ex.values[i] for i in out_idx)
+        # checksum, not the tensor: the sync read otherwise pulls whole
+        # head buffers through the tunnel and measures bandwidth, not TPU
+        return tuple(
+            jnp.sum(ex.values[i], dtype=jnp.float32) for i in out_idx
+        )
 
     t0 = net.tensors[0]
     x = jnp.asarray(

@@ -88,3 +88,59 @@ def test_int8_yolo_head_decode_consistent():
     (got,), _ = sess.predict_on_batch(x, outputs=["lid17"])
     # head outputs are mostly post-sigmoid; int8 keeps them close
     assert np.abs(np.asarray(got) - np.asarray(ref)).mean() < 0.05
+
+
+def test_int8_activation_flow_bit_identical_and_reaches_backbone():
+    """End-to-end int8 activations (plan_int8_flow): producers emit int8
+    from their fused epilogues, maxpool/upsample/copy-concat pass it
+    through, consumers read it directly. Because quantize-at-producer ==
+    quantize-at-consumer for these exact-commute ops, outputs must be
+    BIT-IDENTICAL to the quantize-at-every-consumer path — and the plan
+    must actually cover the yolov3-tiny backbone."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu import Mode, Session
+    from bcnn_tpu.compile import execute
+    from bcnn_tpu.models import yolov3_tiny
+    from bcnn_tpu.ops.quant import (
+        calibrate,
+        plan_int8_flow,
+        quantize_weights,
+    )
+
+    net = yolov3_tiny(batch_size=2, width=96, height=96, classes=4,
+                      mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    for k in list(sess.state):
+        if "run_var" in k:
+            sess.state[k] = jnp.ones_like(sess.state[k])
+    rng = np.random.RandomState(0)
+    calib = rng.rand(2, 3, 96, 96).astype(np.float32)
+    scales = calibrate(net, sess.params, sess.state, [calib])
+    qw = quantize_weights(net, sess.params)
+
+    x = rng.rand(2, 3, 96, 96).astype(np.float32)
+    outs = {}
+    for flow in (False, True):
+        net.quant = {
+            "act_scales": scales, "weights": qw, "act_flow": flow,
+        }
+        sess._forward_cache = {}
+        (a, b), _ = sess.predict_on_batch(
+            x, outputs=["lid17", "lid24"]
+        )
+        outs[flow] = (np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+    # the plan must cover the backbone: count int8 tensors in the trace
+    plan = plan_int8_flow(net, net.quant)
+    assert len(plan) >= 10, f"flow plan too small: {sorted(plan)}"
+    ex = execute(
+        net, sess.params, sess.state,
+        {"input": jnp.asarray(x)}, Mode.PREDICT, None,
+    )
+    n_int8 = sum(
+        1 for v in ex.values.values() if v.dtype == jnp.int8
+    )
+    assert n_int8 >= 10, f"only {n_int8} int8 tensors materialized"
