@@ -150,3 +150,39 @@ def test_bf16_forward_matches_predict_path():
         lax.Precision.DEFAULT, jnp.float32,
     )
     np.testing.assert_array_equal(np.asarray(y_train), np.asarray(y_pred))
+
+
+def test_bf16_with_remat():
+    """jax.checkpoint over the custom conv VJPs (large-model training
+    combines both: bf16 MXU + rematerialized backward)."""
+    net = zoo_net()
+    net.compute_dtype = jnp.bfloat16
+    net.remat = True
+    sess = Session(net, seed=0).compile_net()
+    step = make_train_step(net)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+    y = jnp.zeros((4, 4, 1, 1), jnp.float32).at[:, 1, 0, 0].set(1.0)
+    params, state, opt, loss = step(
+        sess.params, sess.state, sess.opt_state,
+        {"input": x, "label": y}, jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_bf16_train_scan():
+    """lax.scan over steps with the custom conv VJPs inside."""
+    from bcnn_tpu.compile import make_train_scan
+
+    net = zoo_net()
+    net.compute_dtype = jnp.bfloat16
+    sess = Session(net, seed=0).compile_net()
+    scan = make_train_scan(net)
+    rng = np.random.RandomState(5)
+    xs = jnp.asarray(rng.randn(3, 4, 3, 16, 16).astype(np.float32))
+    ys = jnp.zeros((3, 4, 4, 1, 1), jnp.float32).at[:, :, 0, 0, 0].set(1.0)
+    params, state, opt, losses = scan(
+        sess.params, sess.state, sess.opt_state,
+        {"input": xs, "label": ys}, jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(losses)).all()
