@@ -15,7 +15,7 @@ is exactly the reference's single-device semantics at any device count.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,15 +23,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..compile import execute, get_loss, nhwc_to_nchw
-from ..graph import Net
+from ..graph import Net, TensorKind
 from ..types import Mode
 
 BATCH_AXIS = "batch"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = BATCH_AXIS):
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(
+    devices: Optional[Sequence] = None,
+    dp: Optional[int] = None,
+    axes: Tuple[str, str] = (BATCH_AXIS, MODEL_AXIS),
+):
+    """2-D mesh (data x model) for composing batch-DP with tensor/spatial
+    parallelism. On real hardware lay the model axis on the faster ICI
+    ring (its collectives are per-layer, DP's one grad all-reduce is
+    per-step); here the device order is whatever the caller passes."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = 2 if n % 2 == 0 else 1
+    if n % dp:
+        raise ValueError(f"dp={dp} does not divide {n} devices")
+    return Mesh(np.asarray(devices).reshape(dp, n // dp), axes)
 
 
 def shard_batch(mesh: Mesh, tree):
@@ -141,6 +160,176 @@ def make_spatial_forward(net: Net, mesh: Mesh, output_names,
         core,
         in_shardings=(repl, repl, in_sh),
         out_shardings=repl,
+    )
+
+
+def tp_param_specs(
+    net: Net, mesh: Mesh, axis: str = MODEL_AXIS
+) -> Tuple[Dict[str, P], Dict[str, P]]:
+    """Tensor-parallel partition specs: shard the OUTPUT-channel axis of
+    every conv / depthwise / deconv / FC weight over `axis`, plus all the
+    per-output-channel vectors hanging off the same node (bias, BN stats
+    and scales, PReLU slopes). SURVEY.md §2.8 marks TP optional for parity
+    (the reference is single-device); this is the pjit channel-sharding
+    extension it describes — GSPMD propagates the activation shardings and
+    inserts the contraction psums, so the math is unchanged at any mesh
+    size. Tensors whose channel count does not divide the axis size (and
+    grouped convs) stay replicated.
+
+    Returns (param_specs, state_specs) keyed like the params/state pytrees.
+    """
+    from ..types import LayerType
+
+    size = mesh.shape[axis]
+    pspecs: Dict[str, P] = {
+        t.key: P() for t in net.tensors if t.kind == TensorKind.PARAM
+    }
+    sspecs: Dict[str, P] = {
+        t.key: P() for t in net.tensors if t.kind == TensorKind.STATE
+    }
+    # weight out-channel axis per layer type (mem layouts in graph.py)
+    out_axis = {
+        LayerType.CONV2D: 3,  # HWIO
+        LayerType.DEPTHWISE_CONV2D: 3,  # (k, k, 1, c)
+        LayerType.TRANSPOSE_CONV2D: 2,  # (k, k, n, c_src)
+        LayerType.FULL_CONNECTED: 1,  # (in, out)
+    }
+    for node in net.nodes:
+        ax = out_axis.get(node.type)
+        if ax is None or len(node.src) < 2:
+            continue
+        if node.param.get("num_groups", 1) != 1:
+            continue  # grouped conv: keep group boundaries intact
+        w = net.tensors[node.src[1]]
+        out_ch = w.mem_shape[ax]
+        if out_ch % size:
+            continue
+        wspec = [None] * len(w.mem_shape)
+        wspec[ax] = axis
+        pspecs[w.key] = P(*wspec)
+        for si in node.src[2:]:
+            t = net.tensors[si]
+            if t.mem_shape == (out_ch,):
+                (pspecs if t.kind == TensorKind.PARAM else sspecs)[
+                    t.key
+                ] = P(axis)
+    return pspecs, sspecs
+
+
+def _opt_shardings(net: Net, mesh: Mesh, pspecs: Dict[str, P]):
+    """Sharding pytree matching learner.init_opt_state's structure: each
+    optimizer slot mirrors its parameter's sharding."""
+    from ..types import Optimizer
+
+    repl = NamedSharding(mesh, P())
+    velocity, adam_m, adam_v = {}, {}, {}
+    adam = net.learner.optimizer == Optimizer.ADAM
+    for t in net.param_specs():
+        if not t.trainable:
+            continue
+        sh = NamedSharding(mesh, pspecs.get(t.key, P()))
+        if adam and t.adam_capable:
+            adam_m[t.key] = sh
+            adam_v[t.key] = sh
+        else:
+            velocity[t.key] = sh
+    return {
+        "seen": repl,
+        "velocity": velocity,
+        "adam_m": adam_m,
+        "adam_v": adam_v,
+    }
+
+
+def shard_train_state(net: Net, mesh: Mesh, params, state, opt_state,
+                      axis: str = MODEL_AXIS):
+    """Place (params, state, opt_state) with tensor-parallel shardings."""
+    pspecs, sspecs = tp_param_specs(net, mesh, axis)
+    params = {
+        k: jax.device_put(v, NamedSharding(mesh, pspecs[k]))
+        for k, v in params.items()
+    }
+    state = {
+        k: jax.device_put(v, NamedSharding(mesh, sspecs[k]))
+        for k, v in state.items()
+    }
+    osh = _opt_shardings(net, mesh, pspecs)
+    opt_state = jax.tree.map(jax.device_put, opt_state, osh)
+    return params, state, opt_state
+
+
+def make_dp_tp_train_step(net: Net, mesh: Mesh,
+                          model_axis: str = MODEL_AXIS):
+    """Training step composing batch data-parallelism with tensor
+    parallelism on a 2-D (batch, model) mesh: batch sharded over `batch`,
+    weights channel-sharded over `model` (tp_param_specs), optimizer slots
+    sharded like their params. GSPMD inserts the per-layer collectives on
+    the model axis and the grad all-reduce on the batch axis."""
+    from ..learner import apply_updates
+
+    pspecs, sspecs = tp_param_specs(net, mesh, model_axis)
+    p_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    s_sh = {k: NamedSharding(mesh, s) for k, s in sspecs.items()}
+    o_sh = _opt_shardings(net, mesh, pspecs)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def loss_fn(params, state, batch, rng):
+        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
+        return ex.surrogate, (ex.state, get_loss(ex))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def core(params, state, opt_state, batch, rng):
+        (_, (new_state, loss)), grads = grad_fn(params, state, batch, rng)
+        new_params, new_opt = apply_updates(net, params, grads, opt_state)
+        return new_params, new_state, new_opt, loss
+
+    return jax.jit(
+        core,
+        in_shardings=(p_sh, s_sh, o_sh, bsh, repl),
+        out_shardings=(p_sh, s_sh, o_sh, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def make_dp_sp_train_step(net: Net, mesh: Mesh,
+                          model_axis: str = MODEL_AXIS):
+    """Training step composing batch-DP with SPATIAL partitioning: the
+    input's height axis is sharded over the model axis (NCHW at the API
+    boundary -> H is axis 2), params replicated. This is the training-side
+    counterpart of make_spatial_forward — the TPU answer when one sample's
+    activations exceed a chip's HBM (SURVEY.md §2.8: bcnn's "long context"
+    axis is image resolution). GSPMD inserts conv halo exchanges in both
+    the forward and the autodiff backward."""
+    from ..learner import apply_updates
+
+    repl = NamedSharding(mesh, P())
+    in_sh = NamedSharding(mesh, P(BATCH_AXIS, None, model_axis, None))
+    lab_sh = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def loss_fn(params, state, batch, rng):
+        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
+        return ex.surrogate, (ex.state, get_loss(ex))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def core(params, state, opt_state, batch, rng):
+        (_, (new_state, loss)), grads = grad_fn(params, state, batch, rng)
+        new_params, new_opt = apply_updates(net, params, grads, opt_state)
+        return new_params, new_state, new_opt, loss
+
+    return jax.jit(
+        core,
+        in_shardings=(
+            repl,
+            repl,
+            repl,
+            {"input": in_sh, "label": lab_sh},
+            repl,
+        ),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
     )
 
 

@@ -213,6 +213,110 @@ def test_dp_train_scan_matches_single_device_scan(mesh8):
         )
 
 
+def test_dp_tp_train_step_matches_single_device(mesh8):
+    """Tensor parallelism composed with DP on a 2-D (batch=2, model=4)
+    mesh: channel-sharded weights + batch-sharded inputs must reproduce
+    the single-device step (GSPMD inserts the model-axis collectives; the
+    math is unchanged)."""
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.parallel import (
+        make_dp_tp_train_step,
+        make_mesh_2d,
+        shard_train_state,
+        tp_param_specs,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = 16
+    rng = np.random.RandomState(11)
+    x, y = _batch(rng, batch)
+    rngkey = jax.random.PRNGKey(7)
+
+    net1 = lenet_mnist(batch)
+    s1 = Session(net1, seed=0).compile_net()
+    step1 = make_train_step(net1)
+    p1, st1, o1, loss1 = step1(
+        s1.params, s1.state, s1.opt_state, {"input": x, "label": y}, rngkey
+    )
+
+    mesh = make_mesh_2d(jax.devices()[:8], dp=2)
+    net = lenet_mnist(batch)
+    s = Session(net, seed=0).compile_net()
+    # some weights must actually be channel-sharded for this test to bite
+    pspecs, _ = tp_param_specs(net, mesh)
+    assert any(spec != P() for spec in pspecs.values()), pspecs
+    step = make_dp_tp_train_step(net, mesh)
+    p, st, o = shard_train_state(net, mesh, s.params, s.state, s.opt_state)
+    bt = {
+        "input": jax.device_put(x, NamedSharding(mesh, P("batch"))),
+        "label": jax.device_put(y, NamedSharding(mesh, P("batch"))),
+    }
+    k = jax.device_put(rngkey, NamedSharding(mesh, P()))
+    p, st, o, loss = step(p, st, o, bt, k)
+
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-4)
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    # the sharding actually took: conv weights split on the model axis
+    sharded = [
+        key for key, spec in pspecs.items()
+        if spec != P() and len(s.params.get(key, np.zeros(())).shape) == 4
+    ]
+    assert sharded
+    shard_shapes = {
+        sh.data.shape for sh in p[sharded[0]].addressable_shards
+    }
+    full = p1[sharded[0]].shape
+    assert (full[0], full[1], full[2], full[3] // 4) in shard_shapes
+
+
+def test_dp_sp_train_step_matches_single_device(mesh8):
+    """Spatial partitioning in TRAINING: input height sharded over the
+    model axis of a 2-D mesh (halo exchanges in fwd AND the autodiff bwd),
+    composed with batch DP — must reproduce the single-device step."""
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.parallel import make_dp_sp_train_step, make_mesh_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = 8
+    rng = np.random.RandomState(13)
+    x, y = _batch(rng, batch)
+    rngkey = jax.random.PRNGKey(3)
+
+    net1 = lenet_mnist(batch)
+    s1 = Session(net1, seed=0).compile_net()
+    step1 = make_train_step(net1)
+    p1, st1, o1, loss1 = step1(
+        s1.params, s1.state, s1.opt_state, {"input": x, "label": y}, rngkey
+    )
+
+    mesh = make_mesh_2d(jax.devices()[:8], dp=2)
+    net = lenet_mnist(batch)
+    s = Session(net, seed=0).compile_net()
+    step = make_dp_sp_train_step(net, mesh)
+    repl = NamedSharding(mesh, P())
+    p = jax.tree.map(lambda v: jax.device_put(v, repl), s.params)
+    st = jax.tree.map(lambda v: jax.device_put(v, repl), s.state)
+    o = jax.tree.map(lambda v: jax.device_put(v, repl), s.opt_state)
+    bt = {
+        "input": jax.device_put(
+            x, NamedSharding(mesh, P("batch", None, "model", None))
+        ),
+        "label": jax.device_put(y, NamedSharding(mesh, P("batch"))),
+    }
+    p, st, o, loss = step(p, st, o, bt, jax.device_put(rngkey, repl))
+
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-4)
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+
+
 def test_multihost_helpers_single_process(mesh8):
     """multihost.host_local_batch / process_batch_slice run in plain
     single-process mode (process_count==1): the local slice IS the global
