@@ -317,23 +317,29 @@ class Session:
         thresh: float = 0.5,
         max_dets: int = 100,
         use_pallas: Optional[bool] = None,
+        topk_first: bool = True,
     ):
         """Fully on-device batched detection: forward + fused decode + NMS
         in one jitted program, no host round-trips until the final gather —
         the serving-throughput path (the host-exact path is
         yolo_get_detections). Returns (boxes (N,K,4), scores (N,K,Kcls),
-        objectness (N,K)) as device arrays."""
+        objectness (N,K)) as device arrays.
+
+        topk_first (default) selects candidates on the raw objectness
+        logits and decodes only those — value-identical to the
+        decode-everything path but skips materializing the (N, M, K)
+        probability tensor (ops/yolo.device_detect_topk)."""
         import jax
 
         from .compile import execute
-        from .ops.yolo import device_decode_nms
+        from .ops.yolo import device_decode_nms, device_detect_topk
         from .ops.yolo_pallas import decode_fused, decode_grid_jnp
         from .types import LayerType
 
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform not in ("cpu",)
         key = (
-            "detect", thresh, max_dets, use_pallas,
+            "detect", thresh, max_dets, use_pallas, topk_first,
             id(getattr(self.net, "quant", None)),
         )
         if key not in self._forward_cache:
@@ -348,9 +354,14 @@ class Session:
             @jax.jit
             def detect(params, state, batch):
                 ex = execute(net, params, state, batch, Mode.PREDICT, None)
+                raws = [ex.values[src_idx] for src_idx, _ in yolo_nodes]
+                if topk_first:
+                    return device_detect_topk(
+                        raws, [prm for _, prm in yolo_nodes],
+                        net_w, net_h, max_dets=max_dets, thresh=thresh,
+                    )
                 all_b, all_o, all_p = [], [], []
-                for src_idx, prm in yolo_nodes:
-                    raw = ex.values[src_idx]  # pre-activation conv output
+                for raw, (_, prm) in zip(raws, yolo_nodes):
                     dec = decode_fused if use_pallas else decode_grid_jnp
                     b, o, p = dec(raw, prm, net_w, net_h)
                     all_b.append(b)

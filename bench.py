@@ -65,9 +65,10 @@ def main():
     ]
 
     if mode in ("detect", "detect_int8"):
-        # full serving pipeline: forward + Pallas fused decode + device NMS
-        from bcnn_tpu.ops.yolo import device_decode_nms
-        from bcnn_tpu.ops.yolo_pallas import decode_fused
+        # full serving pipeline: forward + top-k-first decode + device NMS
+        # (candidates selected on raw objectness logits; only those 100
+        # rows are decoded — see ops/yolo.device_detect_topk)
+        from bcnn_tpu.ops.yolo import device_detect_topk
         from bcnn_tpu.types import LayerType
 
         yolo_nodes = [
@@ -80,16 +81,11 @@ def main():
         @jax.jit
         def forward(params, state, x):
             ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
-            bs, os_, ps = [], [], []
-            for src_idx, prm in yolo_nodes:
-                b, o, p = decode_fused(ex.values[src_idx], prm, net_w, net_h)
-                bs.append(b)
-                os_.append(o)
-                ps.append(p)
-            return device_decode_nms(
-                jnp.concatenate(bs, 1),
-                jnp.concatenate(os_, 1),
-                jnp.concatenate(ps, 1),
+            return device_detect_topk(
+                [ex.values[src_idx] for src_idx, _ in yolo_nodes],
+                [prm for _, prm in yolo_nodes],
+                net_w,
+                net_h,
                 max_dets=100,
                 thresh=0.5,
             )

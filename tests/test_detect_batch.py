@@ -31,3 +31,59 @@ def test_detect_on_batch_shapes_and_consistency():
     assert dev_alive == host_alive[: len(dev_alive)] or \
         dev_alive == sorted(host_alive)[-len(dev_alive):] or \
         set(dev_alive) <= set(host_alive)
+
+
+def test_topk_first_matches_decode_everything():
+    """The top-k-first path (candidate selection on raw objectness LOGITS,
+    decode of only the selected rows) must match the decode-everything
+    path value-for-value. Selection on logits vs on sigmoid values can
+    only differ on exact fp32 ties — a random-init net saturates sigmoid
+    and produces those en masse (the reference's qsort tie order is
+    equally unspecified there) — so drive the two paths with synthetic
+    head tensors whose logits stay in the distinct, unsaturated range."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu.ops.yolo import device_decode_nms, device_detect_topk
+    from bcnn_tpu.ops.yolo_pallas import decode_grid_jnp
+
+    rng = np.random.RandomState(2)
+    anchors = [10, 14, 23, 27, 37, 58, 81, 82, 135, 169, 344, 319]
+    prms = [
+        dict(num=3, classes=4, anchors=anchors, mask=[3, 4, 5]),
+        dict(num=3, classes=4, anchors=anchors, mask=[0, 1, 2]),
+    ]
+    raws = [
+        jnp.asarray(rng.uniform(-4, 4, (2, 4, 4, 27)).astype(np.float32)),
+        jnp.asarray(rng.uniform(-4, 4, (2, 8, 8, 27)).astype(np.float32)),
+    ]
+
+    b1, s1, o1 = device_detect_topk(
+        raws, prms, 128, 128, max_dets=20, thresh=0.4
+    )
+
+    bs, os_, ps = [], [], []
+    for raw, prm in zip(raws, prms):
+        b, o, p = decode_grid_jnp(raw, prm, 128, 128)
+        bs.append(b)
+        os_.append(o)
+        ps.append(p)
+    b2, s2, o2 = device_decode_nms(
+        jnp.concatenate(bs, 1),
+        jnp.concatenate(os_, 1),
+        jnp.concatenate(ps, 1),
+        max_dets=20,
+        thresh=0.4,
+    )
+
+    o1, o2 = np.asarray(o1), np.asarray(o2)
+    assert (o1 > 0).any(), "synthetic heads produced no detections"
+    np.testing.assert_allclose(o1, o2, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-6, atol=1e-7
+    )
+    # boxes agree on every surviving slot (suppressed slots may hold
+    # different -- equally dead -- filler rows)
+    alive = o1 > 0
+    np.testing.assert_allclose(
+        np.asarray(b1)[alive], np.asarray(b2)[alive], rtol=1e-6, atol=1e-7
+    )
