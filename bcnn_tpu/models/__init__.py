@@ -8,6 +8,6 @@ MobileNet-v1 / ResNet-18 (examples/inference_benchmark targets, built from
 their standard Caffe-era architectures).
 """
 
-from .yolov3 import yolov3_tiny
+from .yolov3 import yolov3, yolov3_tiny
 from .classic import cifar10_convnet, cifar10_resnet, lenet_mnist
 from .imagenet import mobilenet_v1, resnet18

@@ -1,4 +1,5 @@
-"""YOLOv3-tiny, transcribed from examples/yolo/yolov3-tiny.cfg.
+"""YOLOv3-tiny (transcribed) and full YOLOv3 (parsed from the vendored
+Darknet recipe), from examples/yolo/yolov3-tiny.cfg / yolov3.cfg.
 
 Layer sequence (Darknet section indices in comments match the cfg, so
 tensor names line up with the lid<N> names the config loader would produce
@@ -6,6 +7,8 @@ tensor names line up with the lid<N> names the config loader would produce
 """
 
 from __future__ import annotations
+
+import os
 
 from ..graph import Net
 from ..types import Activation, FillerType, Loss, Metric, Mode, Padding
@@ -60,4 +63,61 @@ def yolov3_tiny(
     net.add_yolo_layer(
         3, classes, 4, 6, [0, 1, 2], anchors, "lid23", "lid24"
     )                                                  # 24 (26x26 head)
+    return net
+
+
+def yolov3(
+    batch_size: int = 1,
+    width: int = 608,
+    height: int = 608,
+    classes: int = 80,
+    mode: Mode = Mode.PREDICT,
+) -> Net:
+    """Full YOLOv3 (Darknet-53 backbone, 75 convs, 23 shortcuts, 3 heads
+    at strides 32/16/8), built by parsing the vendored
+    examples/yolo/yolov3.cfg — so tensor names are the loader's lid<N>
+    and Darknet .weights files load directly. `classes` rewrites the
+    [yolo] sections and their preceding conv filter counts (the standard
+    Darknet recipe edit)."""
+    from ..config import (
+        LayerParam,
+        add_layer,
+        layer_param_set,
+        net_set_param,
+        parse_ini,
+    )
+
+    cfg = os.path.join(
+        os.path.dirname(__file__), "..", "..", "examples", "yolo",
+        "yolov3.cfg",
+    )
+    sections = parse_ini(cfg)
+    net = Net(mode)
+    for k, v in sections[0].keys:
+        net_set_param(net, k, v)
+    net.set_input_shape(width, height, 3, batch_size)
+
+    if classes != 80:
+        n_out = 3 * (classes + 5)
+        for i, sec in enumerate(sections):
+            if sec.name == "[yolo]":
+                sec.keys = [
+                    (k, str(classes) if k == "classes" else v)
+                    for k, v in sec.keys
+                ]
+                prev = sections[i - 1]
+                prev.keys = [
+                    (k, str(n_out) if k == "filters" else v)
+                    for k, v in prev.keys
+                ]
+
+    for i in range(1, len(sections)):
+        lp = LayerParam()
+        for k, v in sections[i].keys:
+            layer_param_set(lp, i, k, v, fmt=1)
+        if lp.src_id is None:
+            lp.src_id = [f"lid{i-1}"]
+        if lp.dst_id is None:
+            lp.dst_id = f"lid{i}"
+        add_layer(net, sections[i].name, lp)
     return net

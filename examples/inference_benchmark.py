@@ -35,6 +35,7 @@ def build(args):
     else:
         builders = {
             "yolov3-tiny": lambda: models.yolov3_tiny(args.batch),
+            "yolov3": lambda: models.yolov3(args.batch),
             "mobilenet-v1": lambda: models.mobilenet_v1(args.batch),
             "resnet18": lambda: models.resnet18(args.batch),
             "lenet": lambda: models.lenet_mnist(args.batch, Mode.PREDICT),

@@ -304,3 +304,21 @@ def test_reference_yolov3_full_cfg_parses():
     shapes = sorted(net.tensors[n.dst[0]].h for n in yolo_nodes)
     assert shapes == [19, 38, 76]  # yolov3.cfg is 608x608
     _run_yolo_forward(net, yolo_nodes, size=128)
+
+
+def test_yolov3_full_builder():
+    """models.yolov3 (vendored-cfg-backed builder): classes rewrite
+    propagates to the head convs, and a small-size forward runs all
+    three heads."""
+    from bcnn_tpu.models import yolov3
+
+    net = yolov3(batch_size=1, width=128, height=128, classes=4)
+    types = [n.type for n in net.nodes]
+    assert types.count(LayerType.YOLOV3) == 3
+    assert types.count(LayerType.CONV2D) == 75
+    yolo_nodes = [n for n in net.nodes if n.type == LayerType.YOLOV3]
+    for n in yolo_nodes:
+        assert n.param["classes"] == 4
+        assert net.tensors[n.src[0]].c == 3 * (4 + 5)
+    assert sorted(net.tensors[n.dst[0]].h for n in yolo_nodes) == [4, 8, 16]
+    _run_yolo_forward(net, yolo_nodes, size=128)
