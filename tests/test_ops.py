@@ -243,3 +243,60 @@ def test_lrn_hlo_size_constant_in_channels():
 
     small, big = count(8), count(512)
     assert big <= small + 10, (small, big)
+
+
+def test_maxpool_2x2_s2_matches_reduce_window():
+    """maxpool's 2x2/s2 case must match a plain reduce_window in forward
+    AND gradient, whatever lowering it uses. (A reshape+argmax custom-VJP
+    fast path was tried and measured 20% SLOWER than XLA's
+    select_and_scatter on v5e — see BENCHMARKS.md — so the generic
+    lowering stays; this test pins the contract either way.)"""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 8, 6, 5).astype(np.float32))
+
+    def generic(x):
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max,
+            window_dimensions=(1, 2, 2, 1),
+            window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (0, 0), (0, 0), (0, 0)),
+        )
+
+    y_fast = ops.maxpool(x, 2, 2, 4, 3)
+    np.testing.assert_array_equal(np.asarray(y_fast), np.asarray(generic(x)))
+
+    g = jnp.asarray(rng.randn(3, 4, 3, 5).astype(np.float32))
+    gx_fast = jax.grad(lambda x: jnp.sum(ops.maxpool(x, 2, 2, 4, 3) * g))(x)
+    gx_gen = jax.grad(lambda x: jnp.sum(generic(x) * g))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx_fast), np.asarray(gx_gen), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_maxpool_2x2_s2_tie_routes_to_first():
+    """On an exact tie the gradient goes to the FIRST row-major window
+    element — the reference's strict-'>' scan keeps the first max
+    (bcnn_maxpool_layer.c:163-176); XLA's select_and_scatter agrees."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 2, 2, 1), jnp.float32)  # all four tie
+    gx = jax.grad(lambda x: jnp.sum(ops.maxpool(x, 2, 2, 1, 1)))(x)
+    gx = np.asarray(gx).reshape(2, 2)
+    np.testing.assert_array_equal(gx, [[1.0, 0.0], [0.0, 0.0]])
+
+
+def test_maxpool_2x2_s2_int8_fast_path():
+    """int8 activations (quantizer-commuting pool in the int8 flow) pool
+    correctly with the type-min identity."""
+    x = jnp.asarray(
+        np.random.RandomState(1).randint(-128, 127, (2, 4, 4, 3), np.int8)
+    )
+    y = ops.maxpool(x, 2, 2, 2, 2)
+    assert y.dtype == jnp.int8
+    want = np.asarray(x).reshape(2, 2, 2, 2, 2, 3).max(axis=(2, 4))
+    np.testing.assert_array_equal(np.asarray(y), want)
