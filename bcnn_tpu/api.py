@@ -328,7 +328,10 @@ class Session:
         topk_first (default) selects candidates on the raw objectness
         logits and decodes only those — value-identical to the
         decode-everything path but skips materializing the (N, M, K)
-        probability tensor (ops/yolo.device_detect_topk)."""
+        probability tensor (ops/yolo.device_detect_topk). use_pallas
+        selects the decode kernel of the decode-everything path only;
+        it is ignored (and kept out of the compile cache key) when
+        topk_first is set."""
         import jax
 
         from .compile import execute
@@ -336,7 +339,9 @@ class Session:
         from .ops.yolo_pallas import decode_fused, decode_grid_jnp
         from .types import LayerType
 
-        if use_pallas is None:
+        if topk_first:
+            use_pallas = False  # unused; normalize the cache key
+        elif use_pallas is None:
             use_pallas = jax.devices()[0].platform not in ("cpu",)
         key = (
             "detect", thresh, max_dets, use_pallas, topk_first,

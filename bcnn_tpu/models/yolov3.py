@@ -72,13 +72,15 @@ def yolov3(
     height: int = 608,
     classes: int = 80,
     mode: Mode = Mode.PREDICT,
+    cfg_path: str = None,
 ) -> Net:
     """Full YOLOv3 (Darknet-53 backbone, 75 convs, 23 shortcuts, 3 heads
     at strides 32/16/8), built by parsing the vendored
     examples/yolo/yolov3.cfg — so tensor names are the loader's lid<N>
     and Darknet .weights files load directly. `classes` rewrites the
     [yolo] sections and their preceding conv filter counts (the standard
-    Darknet recipe edit)."""
+    Darknet recipe edit). `cfg_path` overrides the recipe location when
+    the package is used without the repo's examples/ tree."""
     from ..config import (
         LayerParam,
         add_layer,
@@ -87,10 +89,16 @@ def yolov3(
         parse_ini,
     )
 
-    cfg = os.path.join(
+    cfg = cfg_path or os.path.join(
         os.path.dirname(__file__), "..", "..", "examples", "yolo",
         "yolov3.cfg",
     )
+    if not os.path.exists(cfg):
+        raise FileNotFoundError(
+            f"yolov3 recipe not found at {cfg}; pass cfg_path= pointing at "
+            "a yolov3.cfg (vendored copy: examples/yolo/yolov3.cfg in the "
+            "bcnn-tpu repository)"
+        )
     sections = parse_ini(cfg)
     net = Net(mode)
     for k, v in sections[0].keys:

@@ -323,6 +323,11 @@ def device_decode_nms(
     semantics match do_nms_obj."""
     n, m, _ = boxes.shape
     obj = jnp.where(obj > thresh, obj, 0.0)
+    if max_dets > m:  # lax.top_k needs k <= M; pad with dead candidates
+        pad = max_dets - m
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        obj = jnp.pad(obj, ((0, 0), (0, pad)))
+        cls_probs = jnp.pad(cls_probs, ((0, 0), (0, pad), (0, 0)))
     topv, topi = jax.lax.top_k(obj, max_dets)  # (N,max_dets)
     bsel = jnp.take_along_axis(boxes, topi[..., None], axis=1)
     psel = jnp.take_along_axis(cls_probs, topi[..., None], axis=1)
@@ -427,16 +432,19 @@ def device_detect_topk(
     aw = jnp.asarray(np.concatenate(aws))
     ah = jnp.asarray(np.concatenate(ahs))
 
-    # objectness logits over ALL candidates (the only full-M read)
+    # objectness logits over ALL candidates (the only full-M read). The
+    # threshold test runs in SIGMOID space — bit-identical to the
+    # decode-everything path's `obj > thresh` (incl. fp32 rounding at the
+    # boundary and +/-inf logits) — while the top-k ranks by the logits,
+    # which order identically (sigmoid is monotone).
     objl = jnp.concatenate([fh[..., 4] for fh in flat_heads], axis=1)
-    logit_thresh = float(np.log(thresh / (1.0 - thresh))) if thresh > 0 \
-        else -np.inf
-    masked = jnp.where(objl > logit_thresh, objl, -jnp.inf)
-    topv_l, topi = jax.lax.top_k(masked, max_dets)  # (N,K)
-    valid = jnp.isfinite(topv_l)
+    masked = jnp.where(jax.nn.sigmoid(objl) > thresh, objl, -jnp.inf)
+    k = min(max_dets, masked.shape[1])  # lax.top_k needs k <= M
+    topv_l, topi = jax.lax.top_k(masked, k)  # (N,k)
+    valid = topv_l > -jnp.inf  # NaN logits compare False, like obj>thresh
 
-    # gather the K selected rows from each head (in-range select)
-    sel = jnp.zeros((n, max_dets, e), flat_heads[0].dtype)
+    # gather the k selected rows from each head (in-range select)
+    sel = jnp.zeros((n, k, e), flat_heads[0].dtype)
     for fh, o, m in zip(flat_heads, offsets, sizes):
         local = topi - o
         inr = (local >= 0) & (local < m)
@@ -454,5 +462,11 @@ def device_detect_topk(
     obj = jax.nn.sigmoid(sel[..., 4]) * valid
     psel = obj[..., None] * jax.nn.sigmoid(sel[..., 5 : 5 + classes])
 
-    keep = _greedy_nms_mask(bsel, valid, max_dets, nms_thresh)
-    return bsel, psel * keep[..., None], obj * keep
+    keep = _greedy_nms_mask(bsel, valid, k, nms_thresh)
+    bsel, psel, obj = bsel, psel * keep[..., None], obj * keep
+    if k < max_dets:  # pad to the requested width with suppressed slots
+        pad = max_dets - k
+        bsel = jnp.pad(bsel, ((0, 0), (0, pad), (0, 0)))
+        psel = jnp.pad(psel, ((0, 0), (0, pad), (0, 0)))
+        obj = jnp.pad(obj, ((0, 0), (0, pad)))
+    return bsel, psel, obj

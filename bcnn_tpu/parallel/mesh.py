@@ -64,14 +64,11 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
 
 
-def make_dp_train_step(net: Net, mesh: Mesh):
-    """bcnn_train_on_batch, batch-data-parallel: params/state/opt replicated,
-    batch sharded on its leading axis. One jitted program; XLA partitions it
-    and rides ICI for the grad all-reduce."""
+def _make_sharded_train_step(net: Net, in_shardings, out_shardings):
+    """The one train-step core (loss -> autodiff grads -> bcnn update)
+    shared by every sharding regime — DP, DPxTP, DPxSP differ ONLY in the
+    sharding annotations; GSPMD derives the collectives."""
     from ..learner import apply_updates
-
-    repl = NamedSharding(mesh, P())
-    bsh = NamedSharding(mesh, P(BATCH_AXIS))
 
     def loss_fn(params, state, batch, rng):
         ex = execute(net, params, state, batch, Mode.TRAIN, rng)
@@ -86,9 +83,20 @@ def make_dp_train_step(net: Net, mesh: Mesh):
 
     return jax.jit(
         core,
-        in_shardings=(repl, repl, repl, bsh, repl),
-        out_shardings=(repl, repl, repl, repl),
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
         donate_argnums=(0, 1, 2),
+    )
+
+
+def make_dp_train_step(net: Net, mesh: Mesh):
+    """bcnn_train_on_batch, batch-data-parallel: params/state/opt replicated,
+    batch sharded on its leading axis. One jitted program; XLA partitions it
+    and rides ICI for the grad all-reduce."""
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(BATCH_AXIS))
+    return _make_sharded_train_step(
+        net, (repl, repl, repl, bsh, repl), (repl, repl, repl, repl)
     )
 
 
@@ -265,31 +273,14 @@ def make_dp_tp_train_step(net: Net, mesh: Mesh,
     weights channel-sharded over `model` (tp_param_specs), optimizer slots
     sharded like their params. GSPMD inserts the per-layer collectives on
     the model axis and the grad all-reduce on the batch axis."""
-    from ..learner import apply_updates
-
     pspecs, sspecs = tp_param_specs(net, mesh, model_axis)
     p_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
     s_sh = {k: NamedSharding(mesh, s) for k, s in sspecs.items()}
     o_sh = _opt_shardings(net, mesh, pspecs)
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(BATCH_AXIS))
-
-    def loss_fn(params, state, batch, rng):
-        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
-        return ex.surrogate, (ex.state, get_loss(ex))
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def core(params, state, opt_state, batch, rng):
-        (_, (new_state, loss)), grads = grad_fn(params, state, batch, rng)
-        new_params, new_opt = apply_updates(net, params, grads, opt_state)
-        return new_params, new_state, new_opt, loss
-
-    return jax.jit(
-        core,
-        in_shardings=(p_sh, s_sh, o_sh, bsh, repl),
-        out_shardings=(p_sh, s_sh, o_sh, repl),
-        donate_argnums=(0, 1, 2),
+    return _make_sharded_train_step(
+        net, (p_sh, s_sh, o_sh, bsh, repl), (p_sh, s_sh, o_sh, repl)
     )
 
 
@@ -302,34 +293,13 @@ def make_dp_sp_train_step(net: Net, mesh: Mesh,
     activations exceed a chip's HBM (SURVEY.md §2.8: bcnn's "long context"
     axis is image resolution). GSPMD inserts conv halo exchanges in both
     the forward and the autodiff backward."""
-    from ..learner import apply_updates
-
     repl = NamedSharding(mesh, P())
     in_sh = NamedSharding(mesh, P(BATCH_AXIS, None, model_axis, None))
     lab_sh = NamedSharding(mesh, P(BATCH_AXIS))
-
-    def loss_fn(params, state, batch, rng):
-        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
-        return ex.surrogate, (ex.state, get_loss(ex))
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def core(params, state, opt_state, batch, rng):
-        (_, (new_state, loss)), grads = grad_fn(params, state, batch, rng)
-        new_params, new_opt = apply_updates(net, params, grads, opt_state)
-        return new_params, new_state, new_opt, loss
-
-    return jax.jit(
-        core,
-        in_shardings=(
-            repl,
-            repl,
-            repl,
-            {"input": in_sh, "label": lab_sh},
-            repl,
-        ),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
+    return _make_sharded_train_step(
+        net,
+        (repl, repl, repl, {"input": in_sh, "label": lab_sh}, repl),
+        (repl, repl, repl, repl),
     )
 
 

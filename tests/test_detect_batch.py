@@ -87,3 +87,49 @@ def test_topk_first_matches_decode_everything():
     np.testing.assert_allclose(
         np.asarray(b1)[alive], np.asarray(b2)[alive], rtol=1e-6, atol=1e-7
     )
+
+
+def test_detect_more_dets_than_candidates():
+    """max_dets above the total candidate count must pad with suppressed
+    slots, not crash lax.top_k (a 64x64 yolov3-tiny has only
+    (2*2 + 4*4) * 3 = 60 candidates)."""
+    net = yolov3_tiny(batch_size=1, width=64, height=64, classes=4,
+                      mode=Mode.PREDICT)
+    sess = Session(net, 0).compile_net()
+    x = np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32)
+    for topk in (True, False):
+        b, s, o = sess.detect_on_batch(
+            x, thresh=0.3, max_dets=100, topk_first=topk, use_pallas=False
+        )
+        assert np.asarray(b).shape == (1, 100, 4)
+        assert np.asarray(o).shape == (1, 100)
+        # the padded tail is dead
+        assert (np.asarray(o)[0, 60:] == 0).all()
+
+
+def test_topk_first_edge_logits():
+    """+inf objectness logits are KEPT (sigmoid=1.0, like the
+    decode-everything path), and a logit whose sigmoid rounds to exactly
+    the threshold is DROPPED by both paths (the threshold test runs in
+    sigmoid space)."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu.ops.yolo import device_decode_nms, device_detect_topk
+    from bcnn_tpu.ops.yolo_pallas import decode_grid_jnp
+
+    anchors = [10, 14, 23, 27, 37, 58, 81, 82, 135, 169, 344, 319]
+    prm = dict(num=3, classes=2, anchors=anchors, mask=[0, 1, 2])
+    raw = np.full((1, 2, 2, 21), -5.0, np.float32)
+    raw[0, 0, 0, 4] = np.inf    # anchor 0 at cell (0,0): saturated obj
+    raw[0, 1, 1, 4] = 1e-8      # sigmoid rounds to exactly 0.5 in fp32
+    raw = jnp.asarray(raw)
+
+    b1, s1, o1 = device_detect_topk([raw], [prm], 64, 64,
+                                    max_dets=4, thresh=0.5)
+    bb, oo, pp = decode_grid_jnp(raw, prm, 64, 64)
+    b2, s2, o2 = device_decode_nms(bb, oo, pp, max_dets=4, thresh=0.5)
+
+    o1, o2 = np.asarray(o1)[0], np.asarray(o2)[0]
+    assert o1[0] == 1.0, o1          # +inf logit kept at objectness 1.0
+    np.testing.assert_array_equal(o1, o2)
+    assert (o1 > 0).sum() == 1       # the 0.5-boundary candidate dropped
