@@ -50,7 +50,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("BCNN_TPU_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO) and not _build():
+    # make is a no-op when the .so is newer than the sources; this also
+    # refreshes a stale cached build after the native sources change
+    _build()
+    if not os.path.exists(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -69,6 +72,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _u8p, _i, _i, _i, _i, _f, _i, _f32p, _f32p,
     ]
     lib.bcnn_bip_num_threads.restype = _i
+    _lp = ctypes.POINTER(ctypes.c_long)
+    if hasattr(lib, "bcnn_loader_mnist_batch"):  # older cached .so lacks it
+        lib.bcnn_loader_mnist_batch.argtypes = [
+            _u8p, ctypes.c_long, _u8p, ctypes.c_long, _lp, _lp,
+            _i, _i, _i, _i, _i, _i, _f32p, _f32p, _i,
+        ]
+        lib.bcnn_loader_mnist_batch.restype = _i
+        lib.bcnn_loader_cifar_batch.argtypes = [
+            _u8p, ctypes.c_long, _lp, _i, _i, _f, _f, _f, _f, _f32p,
+            _f32p, _i,
+        ]
+        lib.bcnn_loader_cifar_batch.restype = _i
     _LIB = lib
     return _LIB
 

@@ -75,6 +75,17 @@ class Augmenter:
         a.rng = np.random.RandomState(seed)
         return a
 
+    def is_identity(self) -> bool:
+        """True when apply() is a no-op (and draws no RNG) — the condition
+        for the native batched loader fast path (data/native_loader.py)."""
+        return not (
+            self.range_shift_x or self.range_shift_y or self.min_scale
+            or self.max_scale or self.rotation_range or self.min_contrast
+            or self.max_contrast or self.min_brightness
+            or self.max_brightness or self.max_distortion
+            or self.max_random_spots or self.random_fliph
+        )
+
     def apply(self, img: np.ndarray) -> np.ndarray:
         """img: HWC uint8; returns augmented HWC uint8."""
         rng = self.rng

@@ -13,6 +13,7 @@ Sample output: (input CHW float32, label float32 vector), normalization
 
 from __future__ import annotations
 
+import io
 import os
 import struct
 from typing import IO, Optional, Tuple
@@ -196,6 +197,30 @@ class MnistLoader(DataLoader):
         fimg.seek(16)
         flbl.seek(8)
 
+    def next_batch(self):
+        """Native C++ batch assembly (native/loader.cpp) when no host
+        augmentation runs; bit-identical to the per-sample path."""
+        if self.raw_mode or self._mode != Mode.TRAIN \
+                or self.augmenter.is_identity():
+            from . import native_loader
+
+            t0, t1 = self.net.tensors[0], self.net.tensors[1]
+            out = None
+            if t0.h <= self.img_h and t0.w <= self.img_w:
+                try:
+                    out = native_loader.mnist_batch(
+                        self.f_current, self.f_current_extra,
+                        self.net.batch_size, self.img_h, self.img_w,
+                        t0.h, t0.w,
+                        normalize=not self.raw_mode,
+                        label_sz=max(1, t1.size3d()),
+                    )
+                except (OSError, io.UnsupportedOperation):
+                    out = None  # not a real file (BytesIO): python path
+            if out is not None:
+                return out
+        return super().next_batch()
+
     def next_sample(self):
         fimg, flbl = self.f_current, self.f_current_extra
         sz = self.img_w * self.img_h
@@ -238,6 +263,38 @@ class Cifar10Loader(DataLoader):
         super().__init__(net, train_path, None, test_path, None)
         self.img_w = self.img_h = 32
         self.depth = 3
+
+    def next_batch(self):
+        """Native C++ batch assembly (native/loader.cpp) when no host
+        augmentation runs; bit-identical to the per-sample path."""
+        t0 = self.net.tensors[0]
+        if (t0.h, t0.w, t0.c) == (32, 32, 3) and (
+            self.raw_mode or self._mode != Mode.TRAIN
+            or self.augmenter.is_identity()
+        ):
+            from . import native_loader
+
+            a = self.augmenter
+            if self.raw_mode or a.no_input_norm:
+                coeff, means = 1.0, (0.0, 0.0, 0.0)
+            else:
+                coeff = 1 / 127.5
+                means = (
+                    a.mean_r * 255.0 if a.mean_r else 127.5,
+                    a.mean_g * 255.0 if a.mean_g else 127.5,
+                    a.mean_b * 255.0 if a.mean_b else 127.5,
+                )
+            try:
+                out = native_loader.cifar_batch(
+                    self.f_current, self.net.batch_size, a.swap_to_bgr,
+                    means, coeff,
+                    max(1, self.net.tensors[1].size3d()),
+                )
+            except (OSError, io.UnsupportedOperation):
+                out = None
+            if out is not None:
+                return out
+        return super().next_batch()
 
     def next_sample(self):
         f = self.f_current
