@@ -257,9 +257,18 @@ class Net:
         self.learner.decay = weight_decay
 
     def set_num_threads(self, n: int):
-        """API compat shim: XLA owns intra-op threading on TPU; this only
-        controls host-side data workers (bcnn_net.c:185-232 analogue)."""
+        """bcnn_set_num_threads (bcnn_net.c:185-232): XLA owns intra-op
+        threading on TPU; this caps the OpenMP pool of the native host
+        kernels (bip augmentation + batched loader)."""
         self.num_threads = max(1, int(n))
+        try:
+            from .bip.native import get_lib
+
+            lib = get_lib()
+            if lib is not None and hasattr(lib, "bcnn_bip_set_num_threads"):
+                lib.bcnn_bip_set_num_threads(self.num_threads)
+        except Exception:
+            pass  # native lib unavailable: threading shim only
 
     # ------------------------------------------------------------------ #
     # layer builders — shape math cited from the reference

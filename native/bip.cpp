@@ -183,6 +183,14 @@ void bcnn_bip_batch_to_float_chw(const uint8_t* src, int n, int h, int w,
     }
 }
 
+// bcnn_set_num_threads analogue (bcnn_net.c:185-232): caps the OpenMP
+// pool used by every native host kernel (bip + batched loader).
+void bcnn_bip_set_num_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#endif
+}
+
 int bcnn_bip_num_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

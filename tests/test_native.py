@@ -67,3 +67,24 @@ def test_batch_to_float(img):
 
     np.testing.assert_allclose(out[1], convert_img_to_float(imgs[1]),
                                rtol=1e-6)
+
+
+def test_set_num_threads_caps_native_pool():
+    """Net.set_num_threads mirrors bcnn_set_num_threads: it caps the
+    OpenMP pool used by the native host kernels."""
+    from bcnn_tpu import Mode, Net
+    from bcnn_tpu.bip.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bcnn_bip_set_num_threads"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    net = Net(Mode.PREDICT)
+    net.set_input_shape(8, 8, 1, 1)
+    before = lib.bcnn_bip_num_threads()
+    try:
+        net.set_num_threads(2)
+        assert lib.bcnn_bip_num_threads() == 2
+    finally:
+        lib.bcnn_bip_set_num_threads(max(1, before))
