@@ -126,6 +126,59 @@ def save_weights(net: Net, params: Dict, state: Dict, filename: str):
                 get(node.src[4]).ravel().tofile(fp)  # biases
 
 
+def save_weights_darknet(
+    net: Net, params: Dict, state: Dict, filename: str, seen: int = 0
+):
+    """Write Darknet `.weights` — the exact byte stream the reference's
+    format-1 loader consumes (bcnn_load_weights, bcnn_net.c:1506-1552).
+
+    The reference can only LOAD this format (its save is bcnn-format-only,
+    bcnn_save_weights :595-681); this writer is an interop extension so
+    nets trained here can feed the reference binary (and any Darknet
+    tooling). Per-layer order, format 1 (bcnn_net.c:1222-1353):
+      conv family: biases, [BN scales, means, variances], weights,
+                   [conv-PReLU slopes];
+      standalone batchnorm: scales, means, variances (NO biases — the
+                   reference leaves them at their in-memory values);
+      fully-connected: biases, weights (out,in);
+      standalone PReLU activation slopes are NOT in this format (:1543).
+    Header: 3 x i32 version + u64 seen counter (version (0,2,0) selects the
+    u64 branch and avoids the transposed-era FC path, :1514-1527).
+    """
+    def get(idx):
+        t = net.tensors[idx]
+        src = params if t.key in params else state
+        return np.asarray(src[t.key], np.float32)
+
+    with open(filename, "wb") as fp:
+        fp.write(struct.pack("<3i", *VERSION))
+        fp.write(struct.pack("<Q", seen))
+        for node in net.nodes:
+            if node.type in _CONV_FAMILY:
+                get(node.src[2]).ravel().tofile(fp)  # biases
+                if node.type == LayerType.CONV2D and node.param.get(
+                    "batch_norm"
+                ):
+                    get(node.src[5]).ravel().tofile(fp)  # scales
+                    get(node.src[3]).ravel().tofile(fp)  # run mean
+                    get(node.src[4]).ravel().tofile(fp)  # run var
+                _w_mem_to_blob(net, node, get(node.src[1])).tofile(fp)
+                if (
+                    node.type == LayerType.CONV2D
+                    and node.param.get("activation") == Activation.PRELU
+                ):
+                    get(node.src[_conv_prelu_src_index(node)]).ravel().tofile(
+                        fp
+                    )
+            elif node.type == LayerType.BATCHNORM:
+                get(node.src[3]).ravel().tofile(fp)  # scales
+                get(node.src[1]).ravel().tofile(fp)  # means
+                get(node.src[2]).ravel().tofile(fp)  # variances
+            elif node.type == LayerType.FULL_CONNECTED:
+                get(node.src[2]).ravel().tofile(fp)
+                _w_mem_to_blob(net, node, get(node.src[1])).tofile(fp)
+
+
 # --------------------------------------------------------------------- #
 # load
 # --------------------------------------------------------------------- #

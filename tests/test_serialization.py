@@ -132,6 +132,55 @@ def test_darknet_load_order(tmp_path):
     np.testing.assert_array_equal(got_m, mean)
 
 
+def test_darknet_writer_roundtrip(tmp_path):
+    """save_weights_darknet (interop extension — the reference only LOADS
+    this format) round-trips through our format-1 loader. Standalone-BN
+    biases and standalone-PReLU slopes are NOT part of the format
+    (bcnn_net.c:1381-1392, :1543) and stay at the fresh net's values."""
+    from bcnn_tpu.serialization import save_weights_darknet
+
+    net = small_net()
+    sess = Session(net, 0).compile_net()
+    randomize(sess.params, sess.state, 5)
+    p = {k: np.asarray(v) for k, v in sess.params.items()}
+    s = {k: np.asarray(v) for k, v in sess.state.items()}
+    f = str(tmp_path / "m.weights")
+    save_weights_darknet(net, p, s, f, seen=777)
+
+    with open(f, "rb") as fp:
+        assert struct.unpack("<3i", fp.read(12)) == (0, 2, 0)
+        assert struct.unpack("<Q", fp.read(8)) == (777,)
+    # payload: conv(b4 + s4+m4+v4 + w108) + bn(s4+m4+v4) + fc(b5 + w1280);
+    # no bn biases, no standalone prelu slopes
+    expected_floats = (4 + 12 + 108) + 12 + (5 + 5 * 256)
+    import os
+
+    assert os.path.getsize(f) == 20 + 4 * expected_floats
+
+    net2 = small_net()
+    sess2 = Session(net2, 1).compile_net()
+    load_weights(net2, sess2.params, sess2.state, f)
+    bn_bias_key = net.tensors[net.nodes[1].src[4]].key
+    prelu_key = net.tensors[net.nodes[3].src[1]].key
+    for k in p:
+        if k in (bn_bias_key, prelu_key):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(sess2.params[k]).ravel(), p[k].ravel(), rtol=1e-6,
+            err_msg=k,
+        )
+    for k in s:
+        np.testing.assert_allclose(
+            np.asarray(sess2.state[k]).ravel(), s[k].ravel(), rtol=1e-6,
+            err_msg=k,
+        )
+    # not-in-format tensors keep the fresh net's initial values
+    np.testing.assert_array_equal(
+        np.asarray(sess2.params[bn_bias_key]),
+        np.zeros_like(p[bn_bias_key]),
+    )
+
+
 def test_bn_fold_at_predict_load(tmp_path):
     """Loading in PREDICT folds mean/var into scales/bias
     (bcnn_net.c:1281-1292) and PREDICT forward then matches VALID forward
