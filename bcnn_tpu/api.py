@@ -423,6 +423,34 @@ class Session:
         self.state = {k: jnp.asarray(v) for k, v in s.items()}
         return self
 
+    def export_serving(
+        self,
+        path: str,
+        detect: bool = False,
+        outputs=None,
+        thresh: float = 0.5,
+        max_dets: int = 100,
+        platforms=None,
+    ):
+        """AOT-export the PREDICT forward (or, with detect=True, the full
+        detection pipeline: forward + decode + on-device NMS) as a
+        self-contained StableHLO artifact with weights baked in — the
+        TPU-native deployment target alongside tools/bcnn2tflite.py
+        (reference: tools/tflite_converter/). Load with
+        bcnn_tpu.deploy.load_exported; no framework code needed at serve
+        time."""
+        from . import deploy
+
+        if detect:
+            return deploy.export_detect(
+                self.net, self.params, self.state, path,
+                thresh=thresh, max_dets=max_dets, platforms=platforms,
+            )
+        return deploy.export_forward(
+            self.net, self.params, self.state, path,
+            outputs=outputs, platforms=platforms,
+        )
+
     def get_tensor(self, name: str):
         """Host copy of a param/state tensor in reference (flat NCHW blob)
         order where applicable."""

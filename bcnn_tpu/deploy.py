@@ -1,0 +1,149 @@
+"""AOT export of compiled serving programs (jax.export / StableHLO).
+
+The reference's deployment story is its TFLite converter
+(tools/tflite_converter/bcnn2tflite.cc — flatbuffer export for edge
+interpreters; ours is tools/bcnn2tflite.py). The TPU-native rebuild adds
+the deployment target that actually matters on TPU: the compiled XLA
+program itself. `export_forward` / `export_detect` trace the jitted
+PREDICT forward (or the full detection serving pipeline: forward +
+top-k-first decode + on-device NMS) with the trained weights baked in as
+constants and serialize it as a portable StableHLO artifact
+(`jax.export`). `load_exported` runs it with zero framework code — no
+graph build, no config parsing, no Python-side weight management — which
+is what a serving fleet wants at deploy time.
+
+Artifacts are platform-tagged; by default the artifact is exported for
+the platforms requested (e.g. ("tpu", "cpu")) so one file serves both the
+fleet and a CPU smoke-test harness.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Net
+from .types import LayerType, Mode
+
+
+def _resolved_platforms(platforms: Optional[Sequence[str]]):
+    if platforms is None:
+        return (jax.devices()[0].platform,)
+    return tuple(platforms)
+
+
+def export_forward(
+    net: Net,
+    params,
+    state,
+    path: Optional[str] = None,
+    outputs: Optional[Sequence[str]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the PREDICT forward as a StableHLO artifact.
+
+    outputs: tensor names to return (NCHW at the boundary, like
+    predict_on_batch); defaults to the last node's dst tensor. The weights
+    (params + running stats) are baked into the program as constants —
+    the artifact is self-contained. Returns the serialized bytes; also
+    writes them to `path` when given.
+    """
+    from .compile import execute, output_value
+
+    if outputs is None:
+        outputs = [net.tensors[net.nodes[-1].dst[0]].name]
+    out_idx = [net.get_tensor_index_by_name(n) for n in outputs]
+    n, c, h, w = (
+        net.batch_size,
+        net.tensors[0].c,
+        net.tensors[0].h,
+        net.tensors[0].w,
+    )
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+
+    def serve(x):
+        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+        return tuple(output_value(ex, i) for i in out_idx)
+
+    spec = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
+    exp = jax.export.export(
+        jax.jit(serve), platforms=_resolved_platforms(platforms)
+    )(spec)
+    blob = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as fp:
+            fp.write(blob)
+    return blob
+
+
+def export_detect(
+    net: Net,
+    params,
+    state,
+    path: Optional[str] = None,
+    thresh: float = 0.5,
+    max_dets: int = 100,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the full detection serving pipeline: forward + top-k-first
+    decode + on-device NMS (the Session.detect_on_batch program), weights
+    baked in. Returns (boxes (N,K,4), scores (N,K,classes),
+    objectness (N,K)) when called."""
+    from .compile import execute
+    from .ops.yolo import device_detect_topk
+
+    yolo_nodes = [
+        (node.src[0], dict(node.param))
+        for node in net.nodes
+        if node.type == LayerType.YOLOV3
+    ]
+    if not yolo_nodes:
+        raise ValueError("export_detect requires a net with YOLO layers")
+    net_w, net_h = net.tensors[0].w, net.tensors[0].h
+    n, c = net.batch_size, net.tensors[0].c
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+
+    def serve(x):
+        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+        return device_detect_topk(
+            [ex.values[src_idx] for src_idx, _ in yolo_nodes],
+            [prm for _, prm in yolo_nodes],
+            net_w,
+            net_h,
+            max_dets=max_dets,
+            thresh=thresh,
+        )
+
+    spec = jax.ShapeDtypeStruct((n, c, net_h, net_w), jnp.float32)
+    exp = jax.export.export(
+        jax.jit(serve), platforms=_resolved_platforms(platforms)
+    )(spec)
+    blob = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as fp:
+            fp.write(blob)
+    return blob
+
+
+def load_exported(path_or_bytes):
+    """Load a serialized artifact; returns fn(x) running the program on
+    the current default device (must be one of the artifact's platforms).
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fp:
+            blob = fp.read()
+    exp = jax.export.deserialize(blob)
+
+    def call(x):
+        return exp.call(jnp.asarray(np.asarray(x), jnp.float32))
+
+    call.platforms = exp.platforms
+    call.in_avals = exp.in_avals
+    return call
