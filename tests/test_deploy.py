@@ -136,6 +136,54 @@ def test_detect_export_matches_live(tmp_path):
     )
 
 
+def test_int8_quantized_export_matches_live(tmp_path):
+    """The fastest serving config — int8 PTQ with the activation-flow
+    plan — exports too (quantized weights and scales bake in as
+    constants)."""
+    from bcnn_tpu.ops.quant import calibrate, quantize_weights
+
+    net = Net(Mode.PREDICT)
+    net.set_input_shape(32, 32, 3, 2)
+    net.add_convolutional_layer(
+        8, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.LRELU, 1,
+        "input", "c1",
+    )
+    net.add_maxpool_layer(2, 2, Padding.SAME, "c1", "p1")
+    net.add_convolutional_layer(
+        12, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.RELU, 0,
+        "p1", "c2",
+    )
+    net.add_fullc_layer(5, FillerType.MSRA, Activation.NONE, 0, "c2", "f")
+    sess = Session(net, 0).compile_net()
+    rng = np.random.RandomState(0)
+    for k in sess.params:
+        a = np.asarray(sess.params[k])
+        sess.params[k] = rng.randn(*a.shape).astype(np.float32) * 0.2
+    for k in sess.state:
+        a = np.asarray(sess.state[k])
+        sess.state[k] = (
+            (np.abs(rng.randn(*a.shape)) + 0.5)
+            if "run_var" in k
+            else rng.randn(*a.shape) * 0.1
+        ).astype(np.float32)
+    calib = rng.rand(4, 3, 32, 32).astype(np.float32)
+    scales = calibrate(net, sess.params, sess.state, [calib])
+    net.quant = {
+        "act_scales": scales,
+        "weights": quantize_weights(net, sess.params),
+    }
+
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    (live,), _ = sess.predict_on_batch(x, outputs=["f"])
+    served = load_exported(
+        export_forward(net, sess.params, sess.state, outputs=["f"])
+    )
+    (got,) = served(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(live), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_multi_platform_export_runs_on_cpu():
     """One artifact can carry lowerings for several platforms (e.g. the
     TPU serving fleet + a CPU smoke-test harness)."""
