@@ -1,0 +1,85 @@
+"""REAL multi-process training over jax.distributed — the DCN-analogue
+integration test the single-host environment allows: two OS processes,
+each owning 4 CPU devices, join a jax.distributed cluster over localhost
+gRPC, build the global 8-device mesh (parallel/multihost.py) and run DP
+train steps whose gradient all-reduce crosses the process boundary. The
+loss trajectory must match the same net trained on this process's own
+8-device mesh (single-process GSPMD), which in turn is bit-checked
+against single-device in test_parallel.py."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_training_matches_single_process(tmp_path):
+    # reference trajectory on this process's 8-device CPU mesh
+    import jax
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.parallel import (
+        make_dp_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from tests.multihost_worker import build_net, global_batch
+
+    batch = 16
+    net = build_net(batch)
+    sess = Session(net, 0).compile_net()
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    step = make_dp_train_step(net, mesh)
+    params = replicate(mesh, sess.params)
+    state = replicate(mesh, sess.state)
+    opt = replicate(mesh, sess.opt_state)
+    key = replicate(mesh, jax.random.PRNGKey(0))
+    want = []
+    for i in range(3):
+        x, y = global_batch(batch, i)
+        bt = shard_batch(mesh, {"input": x, "label": y})
+        params, state, opt, loss = step(params, state, opt, bt, key)
+        want.append(float(np.asarray(loss)))
+
+    # two real processes, 4 devices each, coordinator over localhost gRPC
+    port = _free_port()
+    outfile = str(tmp_path / "losses.txt")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own 4-device forcing
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(WORKER))
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, WORKER, f"localhost:{port}", "2", str(i),
+                outfile,
+            ],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(WORKER)),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so[-2000:]}\n{se[-2000:]}"
+
+    got = [float(v) for v in open(outfile).read().split()]
+    assert len(got) == 3
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
