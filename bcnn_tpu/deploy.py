@@ -54,7 +54,13 @@ def export_forward(
     from .compile import execute, output_value
 
     if outputs is None:
-        outputs = [net.tensors[net.nodes[-1].dst[0]].name]
+        # detection nets: all YOLO head outputs; otherwise the last node
+        yolo_dst = [
+            net.tensors[node.dst[0]].name
+            for node in net.nodes
+            if node.type == LayerType.YOLOV3
+        ]
+        outputs = yolo_dst or [net.tensors[net.nodes[-1].dst[0]].name]
     out_idx = [net.get_tensor_index_by_name(n) for n in outputs]
     n, c, h, w = (
         net.batch_size,
