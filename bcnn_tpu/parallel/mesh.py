@@ -250,19 +250,26 @@ def _opt_shardings(net: Net, mesh: Mesh, pspecs: Dict[str, P]):
 
 
 def shard_train_state(net: Net, mesh: Mesh, params, state, opt_state,
-                      axis: str = MODEL_AXIS):
-    """Place (params, state, opt_state) with tensor-parallel shardings."""
+                      axis: str = MODEL_AXIS, put=None):
+    """Place (params, state, opt_state) with tensor-parallel shardings.
+
+    put(value, sharding): placement function — defaults to
+    jax.device_put (single process); multi-process callers pass
+    jax.make_array_from_process_local_data so leaves assemble across a
+    jax.distributed cluster (see tests/multihost_worker.py)."""
+    if put is None:
+        put = jax.device_put
     pspecs, sspecs = tp_param_specs(net, mesh, axis)
     params = {
-        k: jax.device_put(v, NamedSharding(mesh, pspecs[k]))
+        k: put(v, NamedSharding(mesh, pspecs[k]))
         for k, v in params.items()
     }
     state = {
-        k: jax.device_put(v, NamedSharding(mesh, sspecs[k]))
+        k: put(v, NamedSharding(mesh, sspecs[k]))
         for k, v in state.items()
     }
     osh = _opt_shardings(net, mesh, pspecs)
-    opt_state = jax.tree.map(jax.device_put, opt_state, osh)
+    opt_state = jax.tree.map(put, opt_state, osh)
     return params, state, opt_state
 
 

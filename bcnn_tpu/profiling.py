@@ -65,6 +65,48 @@ def profile_forward(
     return timings
 
 
+def memory_report(fn, *args, **kwargs) -> Dict[str, float]:
+    """Compile `fn` for the given example args and report the program's
+    device-memory footprint from XLA's memory analysis — the TPU-native
+    answer to the reference's hand-sized workspaces
+    (bcnn_compile_net, bcnn_net.c:337-352): argument/output/temp/generated
+    code sizes and the peak HBM the program needs. Keys in bytes.
+
+    Also returns XLA cost analysis ('flops', 'bytes_accessed') when the
+    backend provides it — the inputs to a roofline estimate
+    (see BENCHMARKS.md for the methodology)."""
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    out: Dict[str, float] = {}
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        for k in (
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "temp_size_in_bytes",
+            "generated_code_size_in_bytes",
+            "alias_size_in_bytes",
+        ):
+            v = getattr(mem, k, None)
+            if v is not None:
+                out[k] = float(v)
+        if "argument_size_in_bytes" in out and "temp_size_in_bytes" in out:
+            out["peak_bytes_estimate"] = (
+                out["argument_size_in_bytes"]
+                + out["output_size_in_bytes"]
+                + out["temp_size_in_bytes"]
+                - out.get("alias_size_in_bytes", 0.0)
+            )
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else None
+    if ca:
+        if "flops" in ca:
+            out["flops"] = float(ca["flops"])
+        if "bytes accessed" in ca:
+            out["bytes_accessed"] = float(ca["bytes accessed"])
+    return out
+
+
 def print_profile(timings: List[Tuple[str, str, float]]):
     total = sum(t for _, _, t in timings)
     print(f"{'layer':<20} {'tensor':<16} {'ms':>8} {'%':>6}")

@@ -87,6 +87,10 @@ def main():
     opt = jax.tree.map(rep, sess.opt_state)
     rng_key = rep(jax.random.PRNGKey(0))
 
+    orig_params = {k: np.asarray(v) for k, v in sess.params.items()}
+    orig_state = {k: np.asarray(v) for k, v in sess.state.items()}
+    orig_opt = jax.tree.map(np.asarray, sess.opt_state)
+
     losses = []
     for i in range(3):
         x, y = global_batch(batch, i)
@@ -97,6 +101,46 @@ def main():
         params, state, opt, loss = step(params, state, opt, bt, rng_key)
         # loss is fully replicated -> each process reads it directly
         losses.append(float(np.asarray(loss)))
+
+    # DP x TP on a 2-D (batch=2, model=4) mesh: the batch axis spans the
+    # two processes (grad all-reduce over the DCN stand-in) while the
+    # channel-sharded weights keep their TP collectives inside each
+    # process — the canonical "model-parallel rides ICI, data-parallel
+    # rides DCN" layout.
+    from bcnn_tpu.parallel import (
+        make_dp_tp_train_step,
+        make_mesh_2d,
+        shard_train_state,
+    )
+
+    mesh2 = make_mesh_2d(jax.devices(), dp=2)
+    step_tp = make_dp_tp_train_step(net, mesh2)
+    p2, s2, o2 = shard_train_state(
+        net, mesh2, orig_params, orig_state, orig_opt,
+        put=lambda v, sh: jax.make_array_from_process_local_data(
+            sh, np.asarray(v)
+        ),
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key2 = jax.make_array_from_process_local_data(
+        NamedSharding(mesh2, P()), np.asarray(jax.random.PRNGKey(0))
+    )
+    bsh2 = NamedSharding(mesh2, P("batch"))
+    for i in range(2):
+        x, y = global_batch(batch, 10 + i)
+        half = batch // 2
+        lo = proc_id * half
+        bt2 = {
+            "input": jax.make_array_from_process_local_data(
+                bsh2, x[lo:lo + half]
+            ),
+            "label": jax.make_array_from_process_local_data(
+                bsh2, y[lo:lo + half]
+            ),
+        }
+        p2, s2, o2, loss_tp = step_tp(p2, s2, o2, bt2, key2)
+        losses.append(float(np.asarray(loss_tp)))
 
     if proc_id == 0:
         with open(outfile, "w") as fp:

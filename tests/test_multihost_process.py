@@ -48,12 +48,43 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     state = replicate(mesh, sess.state)
     opt = replicate(mesh, sess.opt_state)
     key = replicate(mesh, jax.random.PRNGKey(0))
+    orig_params = {k: np.asarray(v) for k, v in sess.params.items()}
+    orig_state = {k: np.asarray(v) for k, v in sess.state.items()}
+    orig_opt = jax.tree.map(np.asarray, sess.opt_state)
+
     want = []
     for i in range(3):
         x, y = global_batch(batch, i)
         bt = shard_batch(mesh, {"input": x, "label": y})
         params, state, opt, loss = step(params, state, opt, bt, key)
         want.append(float(np.asarray(loss)))
+
+    # DP x TP reference on this process's own 2-D mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcnn_tpu.parallel import (
+        make_dp_tp_train_step,
+        make_mesh_2d,
+        shard_train_state,
+    )
+
+    mesh2 = make_mesh_2d(jax.devices("cpu")[:8], dp=2)
+    step_tp = make_dp_tp_train_step(net, mesh2)
+    p2, s2, o2 = shard_train_state(
+        net, mesh2, orig_params, orig_state, orig_opt
+    )
+    key2 = jax.device_put(
+        jax.random.PRNGKey(0), NamedSharding(mesh2, P())
+    )
+    bsh2 = NamedSharding(mesh2, P("batch"))
+    for i in range(2):
+        x, y = global_batch(batch, 10 + i)
+        bt2 = {
+            "input": jax.device_put(x, bsh2),
+            "label": jax.device_put(y, bsh2),
+        }
+        p2, s2, o2, loss_tp = step_tp(p2, s2, o2, bt2, key2)
+        want.append(float(np.asarray(loss_tp)))
 
     # two real processes, 4 devices each, coordinator over localhost gRPC
     port = _free_port()
@@ -81,5 +112,5 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{so[-2000:]}\n{se[-2000:]}"
 
     got = [float(v) for v in open(outfile).read().split()]
-    assert len(got) == 3
+    assert len(got) == 5  # 3 DP steps + 2 DPxTP steps
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
