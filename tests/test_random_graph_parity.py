@@ -40,7 +40,7 @@ def gen_conf(rng, depth=6):
         # first or they'd read the unset input fallback)
         pool = ["conv", "dw"] if layer_i == 0 else [
             "conv", "maxpool", "bn", "dw", "act", "dropout", "deconv",
-            "concat", "eltwise",
+            "concat", "eltwise", "upsample",
         ]
         choice = rng.choice(pool)
         dst = f"t{idx}"
@@ -124,9 +124,19 @@ def gen_conf(rng, depth=6):
                     f"src={prev},{other[0]}", f"dst={dst}", "",
                 ]
                 prev = dst
+        elif choice == "upsample" and h <= 8:
+            lines += [
+                "[upsample]", "stride=2", f"src={prev}", f"dst={dst}", "",
+            ]
+            h = h * 2
+            w = h
+            prev = dst
         produced.append((prev, c, h))
         idx += 1
-    # head: fc + softmax
+    # head: [global avgpool with p=1/3] + fc + softmax
+    if rng.rand() < 1.0 / 3.0:
+        lines += ["[avgpool]", f"src={prev}", "dst=gap", ""]
+        prev = "gap"
     lines += [
         "[connected]", "output=5", f"src={prev}", "dst=fc", "",
         "[softmax]", "src=fc", "dst=soft", "",
@@ -179,7 +189,7 @@ src=c
     assert np.asarray(mine).min() >= 0  # relu applied in-place
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 8, 10])  # 8,10: upsample
 def test_random_graph_forward_parity(harness, tmp_path, seed):
     rng = np.random.RandomState(seed)
     conf_text, _ = gen_conf(rng)
