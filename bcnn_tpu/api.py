@@ -334,10 +334,7 @@ class Session:
         topk_first is set."""
         import jax
 
-        from .compile import execute
-        from .ops.yolo import device_decode_nms, device_detect_topk
-        from .ops.yolo_pallas import decode_fused, decode_grid_jnp
-        from .types import LayerType
+        from .compile import make_detect_fn
 
         if topk_first:
             use_pallas = False  # unused; normalize the cache key
@@ -348,38 +345,12 @@ class Session:
             id(getattr(self.net, "quant", None)),
         )
         if key not in self._forward_cache:
-            net = self.net
-            yolo_nodes = [
-                (n.src[0], dict(n.param))
-                for n in net.nodes
-                if n.type == LayerType.YOLOV3
-            ]
-            net_w, net_h = net.tensors[0].w, net.tensors[0].h
-
-            @jax.jit
-            def detect(params, state, batch):
-                ex = execute(net, params, state, batch, Mode.PREDICT, None)
-                raws = [ex.values[src_idx] for src_idx, _ in yolo_nodes]
-                if topk_first:
-                    return device_detect_topk(
-                        raws, [prm for _, prm in yolo_nodes],
-                        net_w, net_h, max_dets=max_dets, thresh=thresh,
-                    )
-                all_b, all_o, all_p = [], [], []
-                for raw, (_, prm) in zip(raws, yolo_nodes):
-                    dec = decode_fused if use_pallas else decode_grid_jnp
-                    b, o, p = dec(raw, prm, net_w, net_h)
-                    all_b.append(b)
-                    all_o.append(o)
-                    all_p.append(p)
-                boxes = jnp.concatenate(all_b, axis=1)
-                obj = jnp.concatenate(all_o, axis=1)
-                probs = jnp.concatenate(all_p, axis=1)
-                return device_decode_nms(
-                    boxes, obj, probs, max_dets=max_dets, thresh=thresh
+            self._forward_cache[key] = jax.jit(
+                make_detect_fn(
+                    self.net, thresh, max_dets,
+                    use_pallas=use_pallas, topk_first=topk_first,
                 )
-
-            self._forward_cache[key] = detect
+            )
         batch = {"input": jnp.asarray(x, jnp.float32)}
         return self._forward_cache[key](self.params, self.state, batch)
 
@@ -442,9 +413,18 @@ class Session:
         from . import deploy
 
         if detect:
+            if outputs is not None:
+                raise ValueError(
+                    "outputs= applies to forward export only; the detect "
+                    "pipeline returns (boxes, scores, objectness)"
+                )
             return deploy.export_detect(
                 self.net, self.params, self.state, path,
                 thresh=thresh, max_dets=max_dets, platforms=platforms,
+            )
+        if thresh != 0.5 or max_dets != 100:
+            raise ValueError(
+                "thresh/max_dets apply to detect=True export only"
             )
         return deploy.export_forward(
             self.net, self.params, self.state, path,

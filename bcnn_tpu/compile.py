@@ -477,6 +477,56 @@ def make_forward(net: Net, output_names, mode: Mode):
     return forward
 
 
+def make_detect_fn(
+    net: Net,
+    thresh: float,
+    max_dets: int,
+    use_pallas: bool = False,
+    topk_first: bool = True,
+):
+    """Unjitted full-detection program — forward + decode + on-device NMS,
+    returning (boxes (N,K,4), scores (N,K,classes), objectness (N,K)).
+    The single source of truth for the serving pipeline: jitted live by
+    Session.detect_on_batch and baked into AOT artifacts by
+    deploy.export_detect (so the two cannot drift)."""
+    from .ops.yolo import device_decode_nms, device_detect_topk
+    from .ops.yolo_pallas import decode_fused, decode_grid_jnp
+    from .types import LayerType
+
+    yolo_nodes = [
+        (n.src[0], dict(n.param))
+        for n in net.nodes
+        if n.type == LayerType.YOLOV3
+    ]
+    if not yolo_nodes:
+        raise ValueError("detection program requires a net with YOLO layers")
+    net_w, net_h = net.tensors[0].w, net.tensors[0].h
+
+    def detect(params, state, batch):
+        ex = execute(net, params, state, batch, Mode.PREDICT, None)
+        raws = [ex.values[src_idx] for src_idx, _ in yolo_nodes]
+        if topk_first:
+            return device_detect_topk(
+                raws, [prm for _, prm in yolo_nodes],
+                net_w, net_h, max_dets=max_dets, thresh=thresh,
+            )
+        all_b, all_o, all_p = [], [], []
+        for raw, (_, prm) in zip(raws, yolo_nodes):
+            dec = decode_fused if use_pallas else decode_grid_jnp
+            b, o, p = dec(raw, prm, net_w, net_h)
+            all_b.append(b)
+            all_o.append(o)
+            all_p.append(p)
+        boxes = jnp.concatenate(all_b, axis=1)
+        obj = jnp.concatenate(all_o, axis=1)
+        probs = jnp.concatenate(all_p, axis=1)
+        return device_decode_nms(
+            boxes, obj, probs, max_dets=max_dets, thresh=thresh
+        )
+
+    return detect
+
+
 def make_train_step(
     net: Net,
     remat: Optional[bool] = None,

@@ -35,6 +35,17 @@ def _resolved_platforms(platforms: Optional[Sequence[str]]):
     return tuple(platforms)
 
 
+def _export(serve, spec, platforms, path: Optional[str]) -> bytes:
+    exp = jax.export.export(
+        jax.jit(serve), platforms=_resolved_platforms(platforms)
+    )(spec)
+    blob = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as fp:
+            fp.write(blob)
+    return blob
+
+
 def export_forward(
     net: Net,
     params,
@@ -72,18 +83,13 @@ def export_forward(
     state = {k: jnp.asarray(v) for k, v in state.items()}
 
     def serve(x):
+        # same primitives as compile.make_forward (execute + output_value),
+        # minus the state return — the artifact is inference-only
         ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
         return tuple(output_value(ex, i) for i in out_idx)
 
     spec = jax.ShapeDtypeStruct((n, c, h, w), jnp.float32)
-    exp = jax.export.export(
-        jax.jit(serve), platforms=_resolved_platforms(platforms)
-    )(spec)
-    blob = exp.serialize()
-    if path is not None:
-        with open(path, "wb") as fp:
-            fp.write(blob)
-    return blob
+    return _export(serve, spec, platforms, path)
 
 
 def export_detect(
@@ -96,44 +102,23 @@ def export_detect(
     platforms: Optional[Sequence[str]] = None,
 ) -> bytes:
     """Serialize the full detection serving pipeline: forward + top-k-first
-    decode + on-device NMS (the Session.detect_on_batch program), weights
+    decode + on-device NMS — the SAME program Session.detect_on_batch jits
+    live (compile.make_detect_fn is the single source of truth), weights
     baked in. Returns (boxes (N,K,4), scores (N,K,classes),
     objectness (N,K)) when called."""
-    from .compile import execute
-    from .ops.yolo import device_detect_topk
+    from .compile import make_detect_fn
 
-    yolo_nodes = [
-        (node.src[0], dict(node.param))
-        for node in net.nodes
-        if node.type == LayerType.YOLOV3
-    ]
-    if not yolo_nodes:
-        raise ValueError("export_detect requires a net with YOLO layers")
-    net_w, net_h = net.tensors[0].w, net.tensors[0].h
+    detect = make_detect_fn(net, thresh, max_dets)  # raises if no YOLO node
     n, c = net.batch_size, net.tensors[0].c
+    net_w, net_h = net.tensors[0].w, net.tensors[0].h
     params = {k: jnp.asarray(v) for k, v in params.items()}
     state = {k: jnp.asarray(v) for k, v in state.items()}
 
     def serve(x):
-        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
-        return device_detect_topk(
-            [ex.values[src_idx] for src_idx, _ in yolo_nodes],
-            [prm for _, prm in yolo_nodes],
-            net_w,
-            net_h,
-            max_dets=max_dets,
-            thresh=thresh,
-        )
+        return detect(params, state, {"input": x})
 
     spec = jax.ShapeDtypeStruct((n, c, net_h, net_w), jnp.float32)
-    exp = jax.export.export(
-        jax.jit(serve), platforms=_resolved_platforms(platforms)
-    )(spec)
-    blob = exp.serialize()
-    if path is not None:
-        with open(path, "wb") as fp:
-            fp.write(blob)
-    return blob
+    return _export(serve, spec, platforms, path)
 
 
 def load_exported(path_or_bytes):

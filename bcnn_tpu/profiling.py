@@ -92,7 +92,7 @@ def memory_report(fn, *args, **kwargs) -> Dict[str, float]:
         if "argument_size_in_bytes" in out and "temp_size_in_bytes" in out:
             out["peak_bytes_estimate"] = (
                 out["argument_size_in_bytes"]
-                + out["output_size_in_bytes"]
+                + out.get("output_size_in_bytes", 0.0)
                 + out["temp_size_in_bytes"]
                 - out.get("alias_size_in_bytes", 0.0)
             )

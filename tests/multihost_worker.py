@@ -121,8 +121,6 @@ def main():
             sh, np.asarray(v)
         ),
     )
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     key2 = jax.make_array_from_process_local_data(
         NamedSharding(mesh2, P()), np.asarray(jax.random.PRNGKey(0))
     )

@@ -107,7 +107,13 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=420) for p in procs]
+    try:
+        outs = [p.communicate(timeout=420) for p in procs]
+    finally:
+        for p in procs:  # no orphaned jax.distributed workers on failure
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{so[-2000:]}\n{se[-2000:]}"
 
