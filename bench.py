@@ -66,29 +66,15 @@ def main():
 
     if mode in ("detect", "detect_int8"):
         # full serving pipeline: forward + top-k-first decode + device NMS
-        # (candidates selected on raw objectness logits; only those 100
-        # rows are decoded — see ops/yolo.device_detect_topk)
-        from bcnn_tpu.ops.yolo import device_detect_topk
-        from bcnn_tpu.types import LayerType
+        # — the same program Session.detect_on_batch / deploy.export_detect
+        # use (compile.make_detect_fn is the single source of truth)
+        from bcnn_tpu.compile import make_detect_fn
 
-        yolo_nodes = [
-            (n.src[0], dict(n.param))
-            for n in net.nodes
-            if n.type == LayerType.YOLOV3
-        ]
-        net_w, net_h = net.tensors[0].w, net.tensors[0].h
+        detect = make_detect_fn(net, thresh=0.5, max_dets=100)
 
         @jax.jit
         def forward(params, state, x):
-            ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
-            return device_detect_topk(
-                [ex.values[src_idx] for src_idx, _ in yolo_nodes],
-                [prm for _, prm in yolo_nodes],
-                net_w,
-                net_h,
-                max_dets=100,
-                thresh=0.5,
-            )
+            return detect(params, state, {"input": x})
     else:
 
         @jax.jit
