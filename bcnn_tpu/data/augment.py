@@ -24,7 +24,6 @@ HWC uint8 -> CHW float (x - mean)*coeff with optional BGR channel swap.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ This is the documented fast path, not a bit-exact clone of the host chain.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

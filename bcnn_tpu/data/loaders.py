@@ -14,7 +14,6 @@ Sample output: (input CHW float32, label float32 vector), normalization
 from __future__ import annotations
 
 import io
-import os
 import struct
 from typing import IO, Optional, Tuple
 

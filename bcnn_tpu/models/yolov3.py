@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 from ..graph import Net
-from ..types import Activation, FillerType, Loss, Metric, Mode, Padding
+from ..types import Activation, FillerType, Mode, Padding
 
 ANCHORS = [10, 14, 23, 27, 37, 58, 81, 82, 135, 169, 344, 319]
 

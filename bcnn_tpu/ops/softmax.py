@@ -15,7 +15,6 @@ training dynamics match exactly.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.custom_vjp

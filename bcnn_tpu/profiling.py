@@ -19,7 +19,6 @@ import time
 from typing import Dict, List, Tuple
 
 import jax
-import numpy as np
 
 
 @contextlib.contextmanager
