@@ -205,21 +205,44 @@ def train(sess: Session, param: CliParam) -> float:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bcnn-cl")
-    ap.add_argument("mode", choices=["train", "valid", "predict"])
+    ap.add_argument(
+        "mode", choices=["train", "valid", "predict", "export"]
+    )
     ap.add_argument("config")
     ap.add_argument("model", nargs="?", default=None)
+    ap.add_argument(
+        "--out", default=None,
+        help="export: artifact path (default <output_model>.stablehlo)",
+    )
+    ap.add_argument(
+        "--detect", action="store_true",
+        help="export: bake the full detect pipeline instead of the forward",
+    )
     args = ap.parse_args(argv)
 
     mode = {
         "train": Mode.TRAIN,
         "valid": Mode.VALID,
         "predict": Mode.PREDICT,
+        "export": Mode.PREDICT,
     }[args.mode]
     param = load_cli_param(args.config)
     net = Net(mode)
     model_path = args.model or param.input_model
     load_net(net, args.config, model_path)
     sess = Session(net)
+
+    if args.mode == "export":
+        # beyond bcnn-cl: AOT serving artifact from the same config-file
+        # workflow (deploy.py; the edge path stays tools/bcnn2tflite.py)
+        sess.compile_net()
+        out = args.out or (
+            (param.output_model or "model") + ".stablehlo"
+        )
+        sess.export_serving(out, detect=args.detect)
+        print(f"Exported serving artifact to {out}", file=sys.stderr)
+        return 0
+
     sess.set_data_loader(
         param.data_format,
         param.train_input,

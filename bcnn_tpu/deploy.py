@@ -65,13 +65,20 @@ def export_forward(
     from .compile import execute, output_value
 
     if outputs is None:
-        # detection nets: all YOLO head outputs; otherwise the last node
+        # detection nets: all YOLO head outputs; otherwise the last
+        # non-COST node (cost layers produce nothing in PREDICT)
         yolo_dst = [
             net.tensors[node.dst[0]].name
             for node in net.nodes
             if node.type == LayerType.YOLOV3
         ]
-        outputs = yolo_dst or [net.tensors[net.nodes[-1].dst[0]].name]
+        if yolo_dst:
+            outputs = yolo_dst
+        else:
+            last = [
+                n for n in net.nodes if n.type != LayerType.COST
+            ][-1]
+            outputs = [net.tensors[last.dst[0]].name]
     out_idx = [net.get_tensor_index_by_name(n) for n in outputs]
     n, c, h, w = (
         net.batch_size,

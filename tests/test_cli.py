@@ -116,3 +116,32 @@ def test_cli_predict_dumps_floats(tmp_path):
     assert len(rows) == 16
     vals = np.array([[float(v) for v in r.split()] for r in rows])
     np.testing.assert_allclose(vals.sum(1), 1.0, rtol=1e-3)  # softmax rows
+
+
+def test_cli_export_serving_artifact(tmp_path):
+    """Beyond bcnn-cl: `export` writes an AOT StableHLO artifact from the
+    same config-file workflow, runnable with zero framework code."""
+    ti, tl, _, _ = write_mnist(tmp_path, n=32, seed=0, name="train")
+    out_model = str(tmp_path / "m.bcnnmodel")
+    conf = tmp_path / "mnist.conf"
+    conf.write_text(
+        CONF.format(
+            train_img=ti, train_lbl=tl, test_img=ti, test_lbl=tl,
+            out_model=out_model,
+        ).replace("max_batches=81", "max_batches=2")
+    )
+    from bcnn_tpu.cli import main
+
+    assert main(["train", str(conf)]) == 0
+    art = str(tmp_path / "m.stablehlo")
+    assert main(["export", str(conf), out_model, "--out", art]) == 0
+    assert os.path.getsize(art) > 1000
+
+    from bcnn_tpu.deploy import load_exported
+
+    served = load_exported(art)
+    x = np.random.RandomState(0).randn(16, 1, 28, 28).astype(np.float32)
+    (got,) = served(x)
+    got = np.asarray(got)
+    assert got.shape == (16, 10, 1, 1)
+    np.testing.assert_allclose(got.sum(axis=1).ravel(), 1.0, rtol=1e-4)
