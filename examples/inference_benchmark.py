@@ -62,6 +62,12 @@ def build(args):
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu for smoke runs (the container's
+    # sitecustomize pins the axon TPU plugin; env alone doesn't switch)
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3-tiny")
     ap.add_argument("--config")
