@@ -41,7 +41,9 @@ def main():
     runs = int(os.environ.get("BENCH_RUNS", "20"))
     if mode == "train":
         return bench_train(batch, runs)
-    net = yolov3_tiny(batch_size=batch, mode=Mode.PREDICT)
+    size = int(os.environ.get("BENCH_SIZE", "416"))  # test smoke uses 160
+    net = yolov3_tiny(batch_size=batch, width=size, height=size,
+                      mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
     sess = Session(net, seed=0).compile_net()
     if mode in ("int8", "detect_int8"):
@@ -51,7 +53,7 @@ def main():
         for k in list(sess.state):
             if "run_var" in k:
                 sess.state[k] = jnp.ones_like(sess.state[k])
-        calib = np.random.RandomState(1).rand(4, 3, 416, 416).astype(
+        calib = np.random.RandomState(1).rand(4, 3, size, size).astype(
             np.float32
         )
         scales = calibrate(net, sess.params, sess.state, [calib])
@@ -90,7 +92,7 @@ def main():
             )
 
     x = jnp.asarray(
-        np.random.RandomState(0).rand(batch, 3, 416, 416), jnp.float32
+        np.random.RandomState(0).rand(batch, 3, size, size), jnp.float32
     )
     params, state = sess.params, sess.state
 
