@@ -138,13 +138,17 @@ def load_exported(path_or_bytes):
         with open(path_or_bytes, "rb") as fp:
             blob = fp.read()
     exp = jax.export.deserialize(blob)
-    # jit the wrapper: Exported.call outside jit re-stages the program
-    # eagerly on every invocation (measured 26 s/call vs 35 ms jitted at
-    # batch 256 through the axon relay — it round-trips the inputs)
+    # jit the wrapper (Exported.call re-stages eagerly per invocation
+    # otherwise), and never bounce an already-on-device input through the
+    # host: np.asarray on a device array would download+reupload the whole
+    # batch each call (measured ~20 s/call for a 531 MB batch through the
+    # device relay vs 35 ms without the bounce)
     jitted = jax.jit(exp.call)
 
     def call(x):
-        return jitted(jnp.asarray(np.asarray(x), jnp.float32))
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(np.asarray(x), jnp.float32)
+        return jitted(x)
 
     call.platforms = exp.platforms
     call.in_avals = exp.in_avals
