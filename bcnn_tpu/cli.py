@@ -219,6 +219,8 @@ def main(argv=None):
         help="export: bake the full detect pipeline instead of the forward",
     )
     args = ap.parse_args(argv)
+    if args.mode != "export" and (args.out or args.detect):
+        ap.error("--out/--detect apply to export mode only")
 
     mode = {
         "train": Mode.TRAIN,
@@ -239,7 +241,11 @@ def main(argv=None):
         out = args.out or (
             (param.output_model or "model") + ".stablehlo"
         )
-        sess.export_serving(out, detect=args.detect)
+        try:
+            sess.export_serving(out, detect=args.detect)
+        except ValueError as e:
+            print(f"export failed: {e}", file=sys.stderr)
+            return 1
         print(f"Exported serving artifact to {out}", file=sys.stderr)
         return 0
 

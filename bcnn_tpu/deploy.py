@@ -148,6 +148,8 @@ def load_exported(path_or_bytes):
     def call(x):
         if not isinstance(x, jax.Array):
             x = jnp.asarray(np.asarray(x), jnp.float32)
+        elif x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)  # on-device cast, no host bounce
         return jitted(x)
 
     call.platforms = exp.platforms

@@ -136,10 +136,10 @@ def main():
         json.dumps(
             {
                 "metric": {
-                    "detect": "yolov3_tiny_416_detect",
-                    "int8": "yolov3_tiny_416_int8",
-                    "detect_int8": "yolov3_tiny_416_detect_int8",
-                }.get(mode, "yolov3_tiny_416_inference"),
+                    "detect": f"yolov3_tiny_{size}_detect",
+                    "int8": f"yolov3_tiny_{size}_int8",
+                    "detect_int8": f"yolov3_tiny_{size}_detect_int8",
+                }.get(mode, f"yolov3_tiny_{size}_inference"),
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / TARGET_IMG_S, 3),

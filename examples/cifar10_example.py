@@ -34,12 +34,8 @@ def synth_cifar(path, n, seed):
 
 
 def main(argv):
-    # honor JAX_PLATFORMS=cpu for smoke runs (the container's
-    # sitecustomize pins the axon TPU plugin; env alone doesn't switch)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS"):
-        import jax as _jax
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    from examples._common import honor_jax_platforms
+    honor_jax_platforms()
     resnet = "resnet" in argv
     paths = [a for a in argv[1:] if a != "resnet"]
     if len(paths) >= 2:

@@ -42,12 +42,8 @@ def synth_mnist(path_prefix, n, seed):
 
 
 def main(argv):
-    # honor JAX_PLATFORMS=cpu for smoke runs (the container's
-    # sitecustomize pins the axon TPU plugin; env alone doesn't switch)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS"):
-        import jax as _jax
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    from examples._common import honor_jax_platforms
+    honor_jax_platforms()
     if len(argv) >= 5:
         train_img, train_lbl, test_img, test_lbl = argv[1:5]
     else:

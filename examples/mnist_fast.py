@@ -43,12 +43,8 @@ def load_idx(img_path, lbl_path):
 
 
 def main(argv):
-    # honor JAX_PLATFORMS=cpu for smoke runs (the container's
-    # sitecustomize pins the axon TPU plugin; env alone doesn't switch)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS"):
-        import jax as _jax
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    from examples._common import honor_jax_platforms
+    honor_jax_platforms()
     if len(argv) >= 5:
         tr_i, tr_l, te_i, te_l = argv[1:5]
     else:

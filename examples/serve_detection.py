@@ -80,12 +80,8 @@ class _DetectionFeed:
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu for smoke runs (the container's
-    # sitecustomize pins the axon TPU plugin; env alone doesn't switch)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS"):
-        import jax as _jax
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    from examples._common import honor_jax_platforms
+    honor_jax_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("list", nargs="?", default=None)
     ap.add_argument("--batch", type=int, default=16)

@@ -187,12 +187,8 @@ def run_video(source, net, sess, out_dir, thresh=0.5, max_frames=None):
 
 
 def main(argv):
-    # honor JAX_PLATFORMS=cpu for smoke runs (the container's
-    # sitecustomize pins the axon TPU plugin; env alone doesn't switch)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS"):
-        import jax as _jax
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    from examples._common import honor_jax_platforms
+    honor_jax_platforms()
     from bcnn_tpu import Mode, Net, Session, bip
     from bcnn_tpu.models import yolov3_tiny
 
