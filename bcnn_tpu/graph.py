@@ -73,6 +73,9 @@ class TensorSpec:
     batch_div_one: bool = False    # PReLU slopes divide lr by 1, not batch
                                    # (bcnn_activation_layer.c:268-289 passes
                                    #  weights->n == 1 as batch_size)
+    grad_div_batch: bool = False   # deconv weights: the reference's dW GEMM
+                                   # uses alpha = 1/batch_size (quirk, only
+                                   # this layer; bcnn_deconv_layer.c:206,216)
 
     @property
     def shape(self) -> Tuple[int, int, int, int]:
@@ -287,6 +290,7 @@ class Net:
         batch_div_one: bool = False,
         kind: TensorKind = TensorKind.PARAM,
         has_grad: bool = True,
+        grad_div_batch: bool = False,
     ) -> int:
         n, c, h, w = ref_shape
         idx = self.add_tensor(
@@ -304,6 +308,7 @@ class Net:
                 weight_decay=weight_decay,
                 adam_capable=adam_capable,
                 batch_div_one=batch_div_one,
+                grad_div_batch=grad_div_batch,
             )
         )
         node.src.append(idx)
@@ -475,6 +480,7 @@ class Net:
             trainable=True,
             weight_decay=True,
             adam_capable=True,
+            grad_div_batch=True,  # ref dW GEMM alpha = 1/batch_size
         )
         self._add_param(
             node, f"{src_id}_b", (1, 1, 1, n), (n,), None, trainable=True

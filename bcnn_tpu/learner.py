@@ -125,6 +125,11 @@ def apply_updates(
             continue
         g = grads[k]
         p = params[k]
+        if t.grad_div_batch:
+            # deconv weight-grad quirk: the reference's dW GEMM alone uses
+            # alpha = 1/batch_size (bcnn_deconv_layer.c:206) — no other
+            # layer scales its gradients
+            g = g / batch_size
         bdiv = 1 if t.batch_div_one else batch_size
         if t.weight_decay and decay:
             g = g + decay * bdiv * p

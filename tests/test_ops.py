@@ -300,3 +300,54 @@ def test_maxpool_2x2_s2_int8_fast_path():
     assert y.dtype == jnp.int8
     want = np.asarray(x).reshape(2, 2, 2, 2, 2, 3).max(axis=(2, 4))
     np.testing.assert_array_equal(np.asarray(y), want)
+
+
+def test_prelu_reference_backward_quirk():
+    """The PReLU backward replicates the reference's output-based math
+    (bcnn_backward_activation_cpu:211-222):
+      grad_slope[c] = sum dy * y * (y < 0)   -> slope * (true gradient)
+      dx            = dy * (y > 0 ? 1 : slope)
+    so with the reference's ZERO slope init the slopes are frozen forever
+    (its PReLU trains as a permanent ReLU), and with nonzero slopes the
+    slope gradient is the true one scaled by the slope itself."""
+    import jax
+
+    from bcnn_tpu import ops
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 3, 3, 4), jnp.float32
+    )
+
+    def loss(s):
+        return jnp.sum(ops.apply_activation(x, Activation.PRELU, s) ** 2)
+
+    # positive slopes: y<0 iff x<0, so grad == slope * true-grad
+    s = jnp.asarray([0.5, 0.8, 0.25, 1.5])
+    g = jax.grad(loss)(s)
+
+    def true_loss(s):
+        return jnp.sum(jnp.where(x > 0, x, s * x) ** 2)
+
+    g_true = jax.grad(true_loss)(s)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_true) * np.asarray(s), rtol=1e-5
+    )
+
+    # NEGATIVE slope: y = s*x > 0 everywhere y would contribute, so the
+    # reference's (y < 0) mask never fires — slope grad is exactly zero
+    sneg = jnp.asarray([-0.3, -0.5, -1.0, -0.1])
+    gneg = jax.grad(loss)(sneg)
+    np.testing.assert_array_equal(np.asarray(gneg), np.zeros(4))
+
+    # zero init: frozen forever
+    g0 = jax.grad(loss)(jnp.zeros(4))
+    np.testing.assert_array_equal(np.asarray(g0), np.zeros(4))
+
+    # dx rule: dy * (y > 0 ? 1 : slope)
+    def loss_x(xv):
+        return jnp.sum(ops.apply_activation(xv, Activation.PRELU, s) ** 2)
+
+    gx = jax.grad(loss_x)(x)
+    y = np.where(np.asarray(x) > 0, np.asarray(x), np.asarray(s) * np.asarray(x))
+    expect = 2 * y * np.where(y > 0, 1.0, np.asarray(s))
+    np.testing.assert_allclose(np.asarray(gx), expect, rtol=1e-5)

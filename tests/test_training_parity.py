@@ -349,3 +349,239 @@ def test_adam_training_trajectory_matches_reference(ref_cl, tmp_path):
     )
     ref_e, mine_e = _run_both(ref_cl, tmp_path, conf)
     _check_trajectories(ref_e, mine_e)
+
+
+NET_HEADER = """
+[net]
+data_format=mnist
+source_train={img}
+label_train={lbl}
+input_model={init}
+output_model={out}
+eval_test=0
+eval_period=10
+save_model=100000
+num_pred=16
+max_batches=51
+input_width=28
+input_height=28
+input_channels=1
+batch_size=16
+optimizer=sgd
+momentum=0.9
+decay=0.0005
+learning_rate=0.02
+"""
+
+
+def gen_train_conf(seed):
+    """Random but deterministic body over 28x28x1. Excluded from the pool
+    (all documented reference defects/divergences, not ours):
+      - dropout: mask RNG differs between implementations;
+      - standalone non-PReLU activation layers: segfault the reference
+        (test_random_graph_parity);
+      - FIRST-layer dw-conv: the reference never computes its weight
+        gradient (test_reference_first_layer_depthwise_does_not_learn);
+      - eltwise: at batch>1 the reference's equal-shape path adds batch
+        item 0 only (bcnn_eltwise_layer.c; we deliberately add the full
+        batch — docs/PARITY.md), so training trajectories diverge
+        (the batch-1 forward random-graph parity does cover eltwise)."""
+    rng = np.random.RandomState(seed)
+    lines = [NET_HEADER]
+    c, h = 1, 28
+    prev = "input"
+    produced = []
+    acts = ["relu", "lrelu", "tanh", "none", "logistic"]
+    for i in range(5):
+        pool = ["conv", "maxpool", "bn", "dw", "prelu", "deconv",
+                "concat"] if i else ["conv"]
+        choice = rng.choice(pool)
+        dst = f"t{i}"
+        if choice == "conv":
+            filters = int(rng.choice([4, 6, 8]))
+            size = int(rng.choice([1, 3]))
+            stride = int(rng.choice([1, 2])) if (h >= 8 and size == 3) else 1
+            pad = size // 2
+            bn = int(rng.rand() < 0.5)
+            act = acts[rng.randint(len(acts))]
+            lines += [
+                "[conv]", f"filters={filters}", f"size={size}",
+                f"stride={stride}", f"pad={pad}", f"bn={bn}",
+                f"activation={act}", f"src={prev}", f"dst={dst}", "",
+            ]
+            h = (h + 2 * pad - size) // stride + 1
+            c = filters
+            prev = dst
+        elif choice == "dw":
+            act = acts[rng.randint(len(acts))]
+            lines += [
+                "[dw-conv]", "size=3", "stride=1", "pad=1",
+                f"activation={act}", f"src={prev}", f"dst={dst}", "",
+            ]
+            prev = dst
+        elif choice == "maxpool" and h >= 4:
+            lines += [
+                "[maxpool]", "size=2", "stride=2", "padding_type=same",
+                f"src={prev}", f"dst={dst}", "",
+            ]
+            h = (h + 1) // 2
+            prev = dst
+        elif choice == "bn":
+            lines += ["[bn]", f"src={prev}", f"dst={dst}", ""]
+            prev = dst
+        elif choice == "prelu":
+            lines += ["[activation]", "function=prelu", f"src={prev}", ""]
+        elif choice == "deconv" and h <= 14:
+            filters = int(rng.choice([4, 6]))
+            act = acts[rng.randint(len(acts))]
+            lines += [
+                "[deconv]", f"filters={filters}", "size=3", "stride=1",
+                "pad=0", f"activation={act}", f"src={prev}",
+                f"dst={dst}", "",
+            ]
+            h = h + 2
+            c = filters
+            prev = dst
+        elif choice == "concat":
+            cands = [p for p in produced if p[2] == h and p[0] != prev]
+            if cands:
+                other = cands[rng.randint(len(cands))]
+                lines += [
+                    "[concat]", f"src={prev},{other[0]}", f"dst={dst}", "",
+                ]
+                c = c + other[1]
+                prev = dst
+        produced.append((prev, c, h))
+    lines += [
+        "[connected]", "output=10", "init=xavier", f"src={prev}",
+        "dst=fc", "",
+        "[softmax]", "src=fc", "dst=soft", "",
+        "[cost]", "src=soft", "dst=out", "loss=euclidean", "metric=error",
+    ]
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_random_graph_training_trajectory(ref_cl, tmp_path, seed):
+    """Training parity on RANDOM graphs: full loop (loader -> fwd ->
+    autodiff bwd -> SGD update -> loss) vs the compiled bcnn-cl binary on
+    identical confs/weights/data — extends the randomized forward parity
+    to the backward/update path."""
+    ref_e, mine_e = _run_both(ref_cl, tmp_path, gen_train_conf(seed))
+    # error rate counts argmax decisions over eval_period*batch = 160
+    # samples; deep random compositions accumulate fp-ordering ulps that
+    # can flip ONE borderline sample even on the first eval, so allow a
+    # single flip early (the fixed-net tests above stay exact) and the
+    # fixed tests' usual drift tolerance for the full run
+    np.testing.assert_allclose(
+        mine_e[:2], ref_e[:2], atol=1.01 / 160,
+        err_msg="early trajectory diverged by more than one sample",
+    )
+    np.testing.assert_allclose(mine_e, ref_e, atol=0.02)
+
+
+DW_FIRST_CONF = NET_HEADER + """
+[dw-conv]
+size=3
+stride=1
+pad=1
+activation=relu
+src=input
+dst=t0
+
+[connected]
+output=10
+init=xavier
+src=t0
+dst=fc
+
+[softmax]
+src=fc
+dst=soft
+
+[cost]
+src=soft
+dst=out
+loss=euclidean
+metric=error
+"""
+
+
+def test_reference_first_layer_depthwise_does_not_learn(ref_cl, tmp_path):
+    """Documents a REFERENCE defect we fix: the depthwise backward
+    computes the weight gradient only inside `if (src_tensor->grad_data)`
+    (bcnn_depthwise_conv_layer.c:318 — the dX guard is the separate block
+    at :432), so a FIRST-layer dw-conv, whose src is the gradient-less
+    input tensor, never receives a data gradient. Its weights change only
+    through L2 decay (+momentum), a per-element-identical linear
+    recursion — so after training every weight is the SAME multiple of
+    its initial value. Biases still learn (bcnn_grad_bias sits outside
+    the guard, :315). Autodiff has no such asymmetry: our first-layer
+    depthwise weights receive real data gradients (verified here), and
+    conv->dw stacks match the reference's trajectory exactly (dw is kept
+    out of the first slot in gen_train_conf for that reason)."""
+    img, lbl = write_mnist_files(tmp_path)
+
+    from bcnn_tpu import Mode, Net, Session
+    from bcnn_tpu.config import load_net
+    from bcnn_tpu.serialization import load_weights, save_weights
+
+    init_w = str(tmp_path / "init.bcnnmodel")
+    out_base = str(tmp_path / "ref_out")
+    conf = tmp_path / "train.conf"
+    conf.write_text(
+        DW_FIRST_CONF.format(img=img, lbl=lbl, init=init_w, out=out_base)
+    )
+    conf0 = tmp_path / "init.conf"
+    conf0.write_text(
+        DW_FIRST_CONF.format(img=img, lbl=lbl, init="", out="x").replace(
+            "input_model=\n", ""
+        )
+    )
+    net0 = Net(Mode.TRAIN)
+    load_net(net0, str(conf0))
+    s0 = Session(net0, seed=0).compile_net()
+    dw_key = net0.tensors[net0.nodes[0].src[1]].key
+    w_init = np.asarray(s0.params[dw_key]).copy()
+    save_weights(
+        net0,
+        {k: np.asarray(v) for k, v in s0.params.items()},
+        {k: np.asarray(v) for k, v in s0.state.items()},
+        init_w,
+    )
+
+    r = subprocess.run(
+        [ref_cl, "train", str(conf)], capture_output=True, text=True,
+        cwd=tmp_path,
+    )
+    assert "Training ended" in r.stderr, r.stderr[-500:]
+
+    # reference-trained dw weights: SAME decay factor for every element
+    net1 = Net(Mode.TRAIN)
+    load_net(net1, str(conf0))
+    s1 = Session(net1, seed=1).compile_net()
+    p1 = {k: np.asarray(v) for k, v in s1.params.items()}
+    st1 = {k: np.asarray(v) for k, v in s1.state.items()}
+    load_weights(net1, p1, st1, out_base)
+    ratio = p1[dw_key].ravel() / w_init.ravel()
+    assert ratio.std() < 1e-5, (
+        "reference dw weights moved non-uniformly — it now computes a "
+        "data gradient; revisit the defect note"
+    )
+    assert ratio.mean() < 1.0  # pure decay shrinkage
+
+    # ours actually learns: weight updates are NOT a uniform rescale
+    from bcnn_tpu.cli import main
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        assert main(["train", str(conf)]) == 0
+    net2 = Net(Mode.TRAIN)
+    load_net(net2, str(conf0))
+    s2 = Session(net2, seed=2).compile_net()
+    p2 = {k: np.asarray(v) for k, v in s2.params.items()}
+    st2 = {k: np.asarray(v) for k, v in s2.state.items()}
+    load_weights(net2, p2, st2, out_base)  # CLI wrote to the same out path
+    ratio2 = p2[dw_key].ravel() / w_init.ravel()
+    assert ratio2.std() > 1e-3, "our dw weights should receive data grads"
