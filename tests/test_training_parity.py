@@ -461,7 +461,7 @@ def gen_train_conf(seed):
     return "\n".join(lines)
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
 def test_random_graph_training_trajectory(ref_cl, tmp_path, seed):
     """Training parity on RANDOM graphs: full loop (loader -> fwd ->
     autodiff bwd -> SGD update -> loss) vs the compiled bcnn-cl binary on
