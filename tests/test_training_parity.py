@@ -452,6 +452,9 @@ def gen_train_conf(seed):
                 c = c + other[1]
                 prev = dst
         produced.append((prev, c, h))
+    if rng.rand() < 1.0 / 3.0:  # global avgpool head (training backward)
+        lines += ["[avgpool]", f"src={prev}", "dst=gap", ""]
+        prev = "gap"
     lines += [
         "[connected]", "output=10", "init=xavier", f"src={prev}",
         "dst=fc", "",
