@@ -588,3 +588,21 @@ def test_reference_first_layer_depthwise_does_not_learn(ref_cl, tmp_path):
     load_weights(net2, p2, st2, out_base)  # CLI wrote to the same out path
     ratio2 = p2[dw_key].ravel() / w_init.ravel()
     assert ratio2.std() > 1e-3, "our dw weights should receive data grads"
+
+
+@pytest.mark.parametrize("seed", [12, 14])
+def test_random_graph_adam_training_trajectory(ref_cl, tmp_path, seed):
+    """Same randomized graphs, Adam optimizer — exercises the seen-based
+    bias correction and per-layer m/v slots across the random op pool."""
+    conf = gen_train_conf(seed).replace(
+        "optimizer=sgd", "optimizer=adam"
+    ).replace(
+        "learning_rate=0.02",
+        "learning_rate=0.002\nbeta1=0.9\nbeta2=0.999",
+    )
+    ref_e, mine_e = _run_both(ref_cl, tmp_path, conf)
+    np.testing.assert_allclose(
+        mine_e[:2], ref_e[:2], atol=1.01 / 160,
+        err_msg="early trajectory diverged by more than one sample",
+    )
+    np.testing.assert_allclose(mine_e, ref_e, atol=0.02)
