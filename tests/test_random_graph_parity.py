@@ -189,10 +189,14 @@ src=c
     assert np.asarray(mine).min() >= 0  # relu applied in-place
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 8, 10])  # 8,10: upsample
-def test_random_graph_forward_parity(harness, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,depth",
+    [(1, 6), (2, 6), (3, 6), (4, 6), (5, 6), (8, 6), (10, 6),  # 8,10: upsample
+     (21, 10), (22, 10)],  # deeper stacks: longer quirk compositions
+)
+def test_random_graph_forward_parity(harness, tmp_path, seed, depth):
     rng = np.random.RandomState(seed)
-    conf_text, _ = gen_conf(rng)
+    conf_text, _ = gen_conf(rng, depth=depth)
     conf, weights = build_and_save(conf_text, tmp_path, seed=seed + 100)
     # input channels from the generated conf
     c = int(
