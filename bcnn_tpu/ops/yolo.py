@@ -129,17 +129,125 @@ def yolo_train_deltas(
     delta = jnp.zeros_like(yr)
     delta = delta.at[..., 4].set(delta_obj)
 
-    # ---- per-truth assignment (ordered overwrite, fori_loop) ----------- #
+    # ---- per-truth assignment, one pass -------------------------------- #
+    # The reference iterates truths in order, each OVERWRITING the full
+    # (5+K)-vector at its target (cell, anchor) with values computed from
+    # the *prediction* y only (bcnn_yolo.c:321-398) — the running delta
+    # never feeds back into a truth's update. Ordered overwrite is
+    # therefore exactly "highest truth index wins": compute all 50 updates
+    # batched, scatter-max the truth index per target slot, and gather the
+    # winner's update. One scatter + one gather replaces 50 sequential
+    # dynamic-update-slices (the round-2 fori_loop cost ~15 ms/step at
+    # batch 256; see BENCHMARKS.md).
+    anchors_arr = jnp.asarray(anchors, jnp.float32).reshape(total, 2)
+    mask_arr = jnp.asarray(mask, jnp.int32)
+    T = DETECTION_MAX_BOXES
+
+    txx, tyy = label[..., 0], label[..., 1]  # (N,T)
+    tww, thh = label[..., 2], label[..., 3]
+    tcls = label[..., 4].astype(jnp.int32)
+    # best anchor by shape-only IoU (truth shifted to origin); strict-'>'
+    # update in the reference keeps the first max — argmax does too.
+    pw = anchors_arr[:, 0] / net_w  # (total,)
+    ph = anchors_arr[:, 1] / net_h
+    iou_a = _box_iou(
+        (
+            jnp.zeros((1, 1, total)),
+            jnp.zeros((1, 1, total)),
+            pw[None, None],
+            ph[None, None],
+        ),
+        (
+            jnp.zeros((n, T, 1)),
+            jnp.zeros((n, T, 1)),
+            tww[..., None],
+            thh[..., None],
+        ),
+    )  # (N,T,total)
+    best_n = jnp.argmax(iou_a, axis=-1)  # (N,T)
+    eq = mask_arr[None, None, :] == best_n[..., None]  # (N,T,A)
+    owned = jnp.any(eq, axis=-1) & (valid > 0)
+    mask_n = jnp.argmax(eq, axis=-1)  # first match, (N,T)
+    ci = jnp.clip((txx * w).astype(jnp.int32), 0, w - 1)
+    cj = jnp.clip((tyy * h).astype(jnp.int32), 0, h - 1)
+
+    # gather current prediction at (b, cj, ci, mask_n) for every truth
+    bidx = jnp.arange(n)[:, None]
+    cur = yr[bidx, cj, ci, mask_n]  # (N,T,5+K)
+    aw = anchors_arr[best_n, 0]
+    ah = anchors_arr[best_n, 1]
+    scale = 2.0 - tww * thh
+    dx = -scale * ((txx * w - ci) - cur[..., 0])
+    dy = -scale * ((tyy * h - cj) - cur[..., 1])
+    dw = -scale * (jnp.log(tww * net_w / aw) - cur[..., 2])
+    dh = -scale * (jnp.log(thh * net_h / ah) - cur[..., 3])
+    dobj = cur[..., 4] - 1.0
+    onehot = jax.nn.one_hot(tcls, classes)
+    dcls = cur[..., 5:] - onehot
+    upd = jnp.concatenate(
+        [jnp.stack([dx, dy, dw, dh, dobj], axis=-1), dcls], axis=-1
+    )  # (N,T,5+K)
+
+    # last-writer-wins: scatter-max the truth index into a flat slot map
+    # (one extra dummy slot absorbs non-owned truths), then gather.
+    hwa = h * w * num
+    pos = (cj * w + ci) * num + mask_n  # (N,T)
+    pos = jnp.where(owned, pos, hwa)
+    t_iota = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (n, T))
+    winner = (
+        jnp.full((n, hwa + 1), -1, jnp.int32)
+        .at[bidx, pos]
+        .max(t_iota)[:, :hwa]
+    )  # (N,HWA)
+    have = winner >= 0
+    upd_sel = jnp.take_along_axis(
+        upd, jnp.maximum(winner, 0)[..., None], axis=1
+    )  # (N,HWA,5+K)
+    delta = jnp.where(
+        have[..., None], upd_sel, delta.reshape(n, hwa, e)
+    )
+    return delta.reshape(n, h, w, num * e)
+
+
+def _yolo_train_deltas_loop(
+    y: jax.Array,
+    label: jax.Array,
+    param: Dict,
+    net_w: int,
+    net_h: int,
+) -> jax.Array:
+    """Round-2 formulation kept for the equivalence test / perf pin: the
+    reference's ordered-overwrite truth loop as a 50-step fori_loop of
+    dynamic-update-slices. Semantically identical to yolo_train_deltas."""
+    num, classes = param["num"], param["classes"]
+    anchors = param["anchors"]
+    mask = param["mask"]
+    total = param["total"]
+    e = 5 + classes
+    n, h, w, _ = y.shape
+    yr = y.reshape(n, h, w, num, e)
+    label = label.reshape(n, DETECTION_MAX_BOXES, 5)
+    tx = label[..., 0]
+    valid = jnp.cumprod((tx != 0).astype(jnp.float32), axis=1)
+    bx, by, bw, bh = _decode_grid(yr, anchors, mask, net_w, net_h)
+    p = (bx[..., None], by[..., None], bw[..., None], bh[..., None])
+    tb = tuple(label[:, None, None, None, :, i] for i in range(4))
+    ious = _box_iou(p, tb) * valid[:, None, None, None, :]
+    best_iou = jnp.max(ious, axis=-1)
+    obj = yr[..., 4]
+    delta_obj = jnp.where(best_iou > NOOBJ_IOU_THRESH, 0.0, obj)
+    delta = jnp.zeros_like(yr)
+    delta = delta.at[..., 4].set(delta_obj)
+
     anchors_arr = jnp.asarray(anchors, jnp.float32).reshape(total, 2)
     mask_arr = jnp.asarray(mask, jnp.int32)
 
     def body(t, delta):
-        tb = label[:, t, :]  # (N,5)
-        v = valid[:, t] > 0  # (N,)
+        tb = label[:, t, :]
+        v = valid[:, t] > 0
         txx, tyy, tww, thh = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
         tcls = tb[:, 4].astype(jnp.int32)
-        # best anchor by shape-only IoU (truth shifted to origin)
-        pw = anchors_arr[:, 0] / net_w  # (total,)
+        pw = anchors_arr[:, 0] / net_w
         ph = anchors_arr[:, 1] / net_h
         iou_a = _box_iou(
             (jnp.zeros((1, total)), jnp.zeros((1, total)), pw[None], ph[None]),
@@ -149,18 +257,15 @@ def yolo_train_deltas(
                 tww[:, None],
                 thh[:, None],
             ),
-        )  # (N,total)
-        best_n = jnp.argmax(iou_a, axis=1)  # (N,)
-        # mask_n: position of best_n in this layer's mask, or -1
-        eq = mask_arr[None, :] == best_n[:, None]  # (N,A)
+        )
+        best_n = jnp.argmax(iou_a, axis=1)
+        eq = mask_arr[None, :] == best_n[:, None]
         owned = jnp.any(eq, axis=1) & v
-        mask_n = jnp.argmax(eq, axis=1)  # first match
+        mask_n = jnp.argmax(eq, axis=1)
         ci = jnp.clip((txx * w).astype(jnp.int32), 0, w - 1)
         cj = jnp.clip((tyy * h).astype(jnp.int32), 0, h - 1)
-
-        # gather current prediction at (b, cj, ci, mask_n)
         bidx = jnp.arange(n)
-        cur = yr[bidx, cj, ci, mask_n]  # (N, 5+K)
+        cur = yr[bidx, cj, ci, mask_n]
         aw = anchors_arr[best_n, 0]
         ah = anchors_arr[best_n, 1]
         scale = 2.0 - tww * thh

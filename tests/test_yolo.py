@@ -147,6 +147,42 @@ def test_yolo_train_deltas_match_reference():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
 
 
+def test_yolo_one_pass_deltas_equal_loop():
+    """The one-pass scatter-max formulation must match the
+    ordered-overwrite fori_loop, including truth collisions on the same
+    (cell, anchor) slot where the later truth index must win. Equality is
+    up to fp32 fusion noise (~1e-7): the two HLOs contract the identical
+    arithmetic differently."""
+    p = make_param()
+    rng = np.random.RandomState(7)
+    n, h, w = 3, 5, 5
+    for trial in range(4):
+        x = rng.randn(n, h, w, p["num"] * 9).astype(np.float32)
+        y = Y.yolo_head(jnp.asarray(x), p["num"], p["classes"])
+        label = np.zeros((n, DETECTION_MAX_BOXES * 5), np.float32)
+        nb = rng.randint(1, 12)
+        for b in range(n):
+            for t in range(nb):
+                # coarse quantized centers force frequent slot collisions
+                cx = rng.choice([0.15, 0.45, 0.75])
+                cy = rng.choice([0.15, 0.45, 0.75])
+                bw = rng.choice([0.1, 0.3, 0.8])
+                bh = rng.choice([0.1, 0.3, 0.8])
+                label[b, 5 * t : 5 * t + 5] = [cx, cy, bw, bh,
+                                               rng.randint(0, 4)]
+        one = np.asarray(
+            Y.yolo_train_deltas(
+                y, jnp.asarray(label), p, p["net_w"], p["net_h"]
+            )
+        )
+        loop = np.asarray(
+            Y._yolo_train_deltas_loop(
+                y, jnp.asarray(label), p, p["net_w"], p["net_h"]
+            )
+        )
+        np.testing.assert_allclose(one, loop, rtol=1e-5, atol=1e-6)
+
+
 def test_yolo_surrogate_grad_equals_delta():
     """autodiff of sum(sg(delta)*x) w.r.t. x must equal delta — the
     reference's backward copies dst grad into src grad verbatim."""
