@@ -138,6 +138,11 @@ class Net:
         # bf16 MXU compute with fp32 accumulation when set (perf path);
         # None = full fp32 (parity path)
         self.compute_dtype = None
+        # opt-in quirk replication: padded deconv forward reproduces the
+        # reference's pad-0 col2im workspace misread bit-for-bit
+        # (bcnn_deconv_layer.c:97-101 vs :177-180; see
+        # ops.conv.conv2d_transpose_ref_quirk). Off = standard transpose.
+        self.ref_deconv_quirk = False
         self._used_keys: set = set()
         # data augmentation config (bcnn_data.h:53-94), set via setters
         self.data_aug: Dict[str, Any] = {}

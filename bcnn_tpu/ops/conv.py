@@ -169,6 +169,59 @@ def conv2d_transpose(
     )
 
 
+def conv2d_transpose_ref_quirk(
+    x: jax.Array, w: jax.Array, stride: int, pad: int
+) -> jax.Array:
+    """Bit-replication of the reference's *forward* padded deconv
+    (bcnn_deconv_layer.c:149-180), quirk included.
+
+    The reference sizes the output with the pad (builder :97-101:
+    s*(h-1)+k-2p) but calls bcnn_col2im with pad=0 (:177-180). col2im
+    (bcnn_mat.c) walks its input POINTER SEQUENTIALLY, consuming
+    oh*ow = ((dh-k)/s+1)*((dw-k)/s+1) floats per (channel, kr, kc) row —
+    while the GEMM laid the workspace out as rows of length h*w. For
+    pad > 0, oh*ow < h*w, so each successive row is read from an
+    ever-more-misaligned offset: the f-th float consumed is simply
+    workspace[f] = C.ravel()[f] where C = W^T X is (co*k*k, h*w)
+    row-major. That makes the quirk a *static index map*: take the first
+    co*k*k*oh*ow elements of C.ravel() and scatter-add each to its col2im
+    placement (ir, ic) = (kr + orow*s, kc + ocol*s) — always in bounds at
+    pad=0. At pad == 0 the map is exactly standard col2im, so this path
+    degenerates to the true transpose conv (test-pinned).
+
+    Training caveat (documented divergence, pinned in
+    tests/test_reference_parity.py): the reference *backward* with pad>0
+    (bcnn_deconv_layer.c:216-246) runs im2col(pad=0) into the shared
+    workspace, writing only dst_c*k*k*oh*ow floats, then the dW/dX GEMMs
+    read k = src_h*src_w columns per row — past the freshly-written data
+    into bytes left over from earlier kernel calls. The gradient depends
+    on heap history, i.e. it is stale-memory-dependent; this rebuild
+    instead differentiates the quirk forward (a well-defined function).
+    """
+    k = w.shape[0]
+    num = w.shape[2]
+    n, h, wid, _ = x.shape
+    dh = stride * (h - 1) + k - 2 * pad
+    dw = stride * (wid - 1) + k - 2 * pad
+    oh = (dh - k) // stride + 1
+    ow = (dw - k) // stride + 1
+    if oh <= 0 or ow <= 0:
+        raise ValueError("degenerate padded deconv geometry")
+    # C[(co,kr,kc),(y,x)] = sum_ci w[kr,kc,co,ci] * x[y,x,ci]
+    cols = jnp.einsum(
+        "nhwc,rqoc->norqhw", x, w, precision=lax.Precision.HIGHEST
+    ).reshape(n, num * k * k * h * wid)
+    f = jnp.arange(num * k * k * oh * ow)
+    q, t = f // (oh * ow), f % (oh * ow)
+    co, kr, kc = q // (k * k), (q // k) % k, q % k
+    ir = kr + (t // ow) * stride
+    ic = kc + (t % ow) * stride
+    tgt = (ir * dw + ic) * num + co  # NHWC flat target
+    taken = cols[:, : num * k * k * oh * ow]
+    out = jnp.zeros((n, dh * dw * num), x.dtype).at[:, tgt].add(taken)
+    return out.reshape(n, dh, dw, num)
+
+
 def _convt_raw(x, w, stride, pad, precision, preferred):
     # lax.conv_transpose's explicit padding pairs apply to the dilated
     # input, not the forward conv being transposed: the gradient of a conv

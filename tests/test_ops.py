@@ -93,6 +93,35 @@ def test_conv_transpose_shape_and_adjointness(k, s, p):
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
 
 
+@pytest.mark.parametrize("k,s", [(3, 2), (3, 1), (2, 2), (5, 1)])
+def test_deconv_ref_quirk_degenerates_to_transpose_at_pad0(k, s):
+    """At pad == 0 the reference's col2im misread vanishes (oh*ow == h*w,
+    no drift), so the quirk replication must equal the standard transpose
+    conv — this pins both the index map and the weight orientation."""
+    rng = np.random.RandomState(3)
+    hi = 5
+    x = jnp.asarray(rng.randn(2, hi, hi, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 3, 4).astype(np.float32))
+    want = ops.conv2d_transpose(x, w, s, 0)
+    got = ops.conv.conv2d_transpose_ref_quirk(x, w, s, 0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_deconv_ref_quirk_pad_changes_output():
+    """pad > 0 engages the misread: output differs from the standard
+    transpose everywhere the drift lands (the divergence the quirk mode
+    exists to replicate)."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 6, 6, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 3).astype(np.float32))
+    std = ops.conv2d_transpose(x, w, 2, 1)
+    quirk = ops.conv.conv2d_transpose_ref_quirk(x, w, 2, 1)
+    assert std.shape == quirk.shape  # both size with the pad
+    assert not np.allclose(np.asarray(std), np.asarray(quirk), atol=1e-3)
+
+
 def test_maxpool_border_semantics():
     """SAME 2x2/s2 on odd size: last window reads -inf outside, so output
     equals max of the in-range elements (bcnn_maxpool_layer.c:163-183)."""

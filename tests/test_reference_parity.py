@@ -150,6 +150,64 @@ def run_mine_predict(conf, weights, x, outputs):
     return [np.asarray(o) for o in outs], net, sess
 
 
+PADDED_DECONV_CONF = """
+[net]
+input_width=8
+input_height=8
+input_channels=3
+batch_size=1
+
+[deconv]
+filters=4
+size=3
+stride=2
+pad=1
+activation=relu
+src=input
+dst=d1
+"""
+
+
+def test_padded_deconv_quirk_parity(harness, tmp_path):
+    """pad>0 deconv: the reference sizes the output with the pad
+    (bcnn_deconv_layer.c:97-101) but runs col2im with pad=0 (:177-180),
+    misreading the GEMM workspace at a drifting offset. With
+    net.ref_deconv_quirk=True we replicate that misread bit-for-bit
+    (conv2d_transpose_ref_quirk); without it, the standard transpose
+    diverges — both facts pinned here against the compiled reference."""
+    from bcnn_tpu import Mode, Net, Session
+    from bcnn_tpu.config import load_net
+
+    conf, weights = build_and_save(PADDED_DECONV_CONF, tmp_path, seed=21)
+    rng = np.random.RandomState(22)
+    x = rng.randn(1, 3, 8, 8).astype(np.float32)
+    xfile = tmp_path / "x.raw"
+    x.ravel().tofile(xfile)
+    out = tmp_path / "ref_d1.raw"
+    r = subprocess.run(
+        [harness, "forward", conf, weights, str(xfile), "d1", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    ref = np.fromfile(out, np.float32)
+    assert ref.size == 4 * 15 * 15  # sized WITH the pad
+
+    def mine(quirk):
+        net = Net(Mode.PREDICT)
+        net.ref_deconv_quirk = quirk
+        load_net(net, conf, weights)
+        sess = Session(net, 1).compile_net()
+        (o,), _ = sess.predict_on_batch(x, outputs=["d1"])
+        return np.asarray(o).ravel()
+
+    np.testing.assert_allclose(
+        mine(True), ref, rtol=1e-4, atol=1e-5,
+        err_msg="quirk replication diverges from reference",
+    )
+    # the standard transpose must NOT match a padded reference deconv
+    assert not np.allclose(mine(False), ref, atol=1e-3)
+
+
 def test_forward_parity_classif_net(harness, tmp_path):
     conf, weights = build_and_save(CLASSIF_CONF, tmp_path)
     rng = np.random.RandomState(1)
