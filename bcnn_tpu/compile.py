@@ -163,7 +163,10 @@ class _Executor:
         return y
 
     def _quant_entry(self, node: Node):
-        """int8 PTQ lookup for this node (PREDICT only; see ops/quant.py)."""
+        """int8 PTQ lookup for this node (PREDICT only; see ops/quant.py).
+        When the flow plan routes the input tensor as int8, the plan's
+        scale is authoritative (it may be a joiner's shared scale rather
+        than the tensor's own calibrated scale)."""
         quant = getattr(self.net, "quant", None)
         if not quant or self.mode != Mode.PREDICT:
             return None
@@ -172,7 +175,14 @@ class _Executor:
         sx = quant["act_scales"].get(node.src[0])
         if wq is None or sx is None:
             return None
-        return wq, sx
+        return wq, self.int8_flow.get(node.src[0], sx)
+
+    def _deq(self, idx: int, x):
+        """Dequantize an int8-flow tensor back to fp32 (mixed-input
+        fallback for joiners the plan could not fully cover)."""
+        if x.dtype == jnp.int8:
+            return x.astype(jnp.float32) * self.int8_flow[idx]
+        return x
 
     def _quant_in(self, x, sx):
         """int8-flow input: already int8 (plan guarantees the scale is
@@ -254,6 +264,12 @@ class _Executor:
             y = conv2d_transpose_int8(
                 self._quant_in(x, sx), wq["q"], sx, wq["scale"],
                 p["stride"], p["pad"],
+            )
+        elif p["pad"] > 0 and getattr(self.net, "ref_deconv_quirk", False):
+            # replicate the reference's pad-0-col2im misread bit-for-bit
+            # (see ops.conv.conv2d_transpose_ref_quirk)
+            y = ops.conv.conv2d_transpose_ref_quirk(
+                x, self.p(node.src[1]), p["stride"], p["pad"]
             )
         else:
             w = self.p(node.src[1])
@@ -348,20 +364,48 @@ class _Executor:
         )
 
     def _concat(self, node: Node, rng):
-        self.values[node.dst[0]] = ops.concat_channels(
-            [self.values[i] for i in node.src]
+        xs = [self.values[i] for i in node.src]
+        if len(xs) == 1:
+            # copy: int8 passes through untouched (exact)
+            self.values[node.dst[0]] = ops.concat_channels(xs)
+            return
+        scs = [self.int8_flow.get(i) for i in node.src]
+        out_s = self.int8_flow.get(node.dst[0])
+        if (
+            all(x.dtype == jnp.int8 for x in xs)
+            and None not in scs
+            and all(s == scs[0] for s in scs)
+            and out_s == scs[0]
+        ):
+            # shared-scale int8 concat is a pure copy
+            self.values[node.dst[0]] = ops.concat_channels(xs)
+            return
+        y = ops.concat_channels(
+            [self._deq(i, x) for i, x in zip(node.src, xs)]
         )
+        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
 
     def _eltwise(self, node: Node, rng):
         p = node.param
-        y = ops.eltwise_add(
-            self.values[node.src[0]],
-            self.values[node.src[1]],
-            p["stride"],
-            p["min_dim"],
-        )
+        a = self.values[node.src[0]]
+        b = self.values[node.src[1]]
+        if a.dtype == jnp.int8 and b.dtype == jnp.int8:
+            # shared-scale int8 add (plan_int8_flow guarantees equal
+            # scales): exact in int32, one dequant multiply after
+            s = self.int8_flow[node.src[0]]
+            y = ops.eltwise_add(
+                a.astype(jnp.int32), b.astype(jnp.int32),
+                p["stride"], p["min_dim"],
+            ).astype(jnp.float32) * s
+        else:
+            y = ops.eltwise_add(
+                self._deq(node.src[0], a),
+                self._deq(node.src[1], b),
+                p["stride"],
+                p["min_dim"],
+            )
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = y
+        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
 
     def _upsample(self, node: Node, rng):
         self.values[node.dst[0]] = ops.upsample_nn(

@@ -67,9 +67,27 @@ def quantize_weights(net, params) -> Dict[str, Dict]:
     return out
 
 
-def calibrate(net, params, state, batches: List[np.ndarray]) -> Dict[int, float]:
-    """Observe the conv/fc input tensors over calibration batches; returns
-    {src_tensor_index: activation_scale}."""
+def calibrate(
+    net,
+    params,
+    state,
+    batches: List[np.ndarray],
+    method: str = "absmax",
+    percentile: float = 99.9,
+) -> Dict[int, float]:
+    """Observe the conv/fc (and joiner) input tensors over calibration
+    batches; returns {src_tensor_index: activation_scale}.
+
+    method:
+      - "absmax": scale = max |x| / 127 (exact range cover; one saturated
+        outlier inflates the scale and wastes int8 resolution for the
+        bulk of the distribution);
+      - "percentile": scale = P(|x|, percentile) / 127, aggregated by max
+        over batches — the standard outlier-robust calibrator; values
+        past the percentile saturate at ±127.
+    The PTQ accuracy studies (tests/test_quant_accuracy.py) compare both
+    per architecture; absmax stays the default because the studied nets
+    show no outlier pathology (BENCHMARKS.md)."""
     from ..compile import execute
 
     watch = []
@@ -81,8 +99,15 @@ def calibrate(net, params, state, batches: List[np.ndarray]) -> Dict[int, float]
             LayerType.FULL_CONNECTED,
         ):
             watch.append(node.src[0])
+        elif node.type == LayerType.ELTWISE:
+            # joiner inputs need scales for the shared-scale int8 add
+            watch.extend(node.src[:2])
+        elif node.type == LayerType.CONCAT and len(node.src) > 1:
+            watch.extend(node.src)
     watch = sorted(set(watch))
 
+    if method not in ("absmax", "percentile"):
+        raise ValueError(f"unknown calibration method: {method!r}")
     amax = {i: 0.0 for i in watch}
     for x in batches:
         ex = execute(
@@ -90,7 +115,12 @@ def calibrate(net, params, state, batches: List[np.ndarray]) -> Dict[int, float]
             {"input": jnp.asarray(x, jnp.float32)}, Mode.PREDICT, None,
         )
         for i in watch:
-            amax[i] = max(amax[i], float(jnp.max(jnp.abs(ex.values[i]))))
+            v = jnp.abs(ex.values[i])
+            if method == "absmax":
+                m = float(jnp.max(v))
+            else:
+                m = float(jnp.percentile(v.astype(jnp.float32), percentile))
+            amax[i] = max(amax[i], m)
     return {
         i: (m / 127.0 if m > 0 else 1.0) for i, m in amax.items()
     }
@@ -158,33 +188,54 @@ def plan_int8_flow(net, quant) -> Dict[int, float]:
     consumer (the +16%-only speedup of BENCHMARKS.md round 1). This plan
     lets the conv epilogue EMIT int8 directly and lets consumers read it
     as-is: tensor t is int8-viable with scale s iff every consumer is
-    (a) a quantized conv/depthwise/deconv/FC reading t as data input
-        with calibrated scale s = act_scales[t], or
+    (a) a quantized conv/depthwise/deconv/FC reading t as data input —
+        the int8 dequant uses s directly, so any s is accepted
+        (preferred: the calibrated act_scales[t], which keeps the result
+        BIT-IDENTICAL to the quantize-at-every-consumer path), or
     (b) an op that commutes EXACTLY with the monotone quantizer —
         maxpool (max of rounded == rounded max), nearest upsample
         (replication), single-source concat (copy), PREDICT dropout
-        (identity) — whose own output is int8-viable with the same s.
-    Because quantize-at-producer then equals quantize-at-consumer
-    value-for-value, the network outputs are BIT-IDENTICAL to the
-    round-1 int8 path; only the HBM dtype changes (4x fewer activation
-    bytes on the memory-bound backbone).
+        (identity) — whose own output is int8-viable with the same s, or
+    (c) [flow_joiners, default on] a JOINER — eltwise add or multi-source
+        concat — all of whose data inputs settle on ONE shared scale
+        s_e = max over the joiner's calibrated input scales. The int8
+        eltwise add is exact in int32 given the shared scale; the
+        accuracy cost is that inputs are quantized at the (coarser)
+        shared scale rather than their own — value-tolerant, gated by
+        the PTQ accuracy studies (tests/test_quant_accuracy.py), not by
+        bit-identity. This is what extends the 4x byte saving through
+        ResNet/Darknet-53 residual trunks
+        (bcnn_eltwise_layer.c:111-163 semantics preserved).
+
+    Resolution per producer: joiner/pass-through demands are fixed and
+    must agree; conv-like consumers are flexible. With no fixed demand
+    the calibrated scale is used (bit-exact case b/a).
+
+    Sibling coupling (a joiner needs BOTH producers viable) is resolved
+    by a fixpoint: start with every calibrated joiner enabled, run the
+    reverse pass, disable any joiner whose inputs did not all come out
+    viable at its shared scale, repeat until stable.
     """
     from ..types import LayerType as L
 
     act_scales = quant["act_scales"]
     weights = quant["weights"]
 
+    def data_srcs(c):
+        if c.type == L.CONCAT:
+            return list(c.src)
+        if c.type == L.ELTWISE:
+            return list(c.src[:2])
+        return [c.src[0]] if c.src else []
+
+    def is_joiner(c):
+        return c.type == L.ELTWISE or (
+            c.type == L.CONCAT and len(c.src) > 1
+        )
+
     consumers: Dict[int, list] = {}
     for node in net.nodes:
-        if node.type == L.CONCAT:
-            srcs = list(node.src)
-        elif node.type == L.ELTWISE:
-            srcs = list(node.src[:2])
-        elif node.src:
-            srcs = [node.src[0]]
-        else:
-            srcs = []
-        for s in srcs:
+        for s in data_srcs(node):
             consumers.setdefault(s, []).append(node)
 
     def quant_consumer_scale(c, t):
@@ -201,30 +252,62 @@ def plan_int8_flow(net, quant) -> Dict[int, float]:
         return act_scales[t]
 
     allow_pass = quant.get("flow_pass", True)
-    viable: Dict[int, float] = {}
-    for node in reversed(net.nodes):
-        if not node.dst:
+    allow_join = quant.get("flow_joiners", True)
+
+    joiner_scale: Dict[int, float] = {}
+    joiners: Dict[int, object] = {}
+    enabled = set()
+    for nd in net.nodes:
+        if not is_joiner(nd):
             continue
-        d = node.dst[0]
-        cons = consumers.get(d, [])
-        if not cons:
-            continue  # graph output: keep fp32 for the host
-        req = []
-        ok = True
-        for c in cons:
-            s = quant_consumer_scale(c, d)
-            if s is not None:
-                req.append(s)
+        ss = [act_scales.get(s) for s in data_srcs(nd)]
+        if allow_join and all(v is not None for v in ss):
+            joiner_scale[id(nd)] = max(ss)
+            joiners[id(nd)] = nd
+            enabled.add(id(nd))
+
+    while True:
+        viable: Dict[int, float] = {}
+        for node in reversed(net.nodes):
+            if not node.dst:
                 continue
-            passthrough = allow_pass and (
-                c.type in (L.MAXPOOL, L.UPSAMPLE, L.DROPOUT)
-                or (c.type == L.CONCAT and len(c.src) == 1)
+            d = node.dst[0]
+            cons = consumers.get(d, [])
+            if not cons:
+                continue  # graph output: keep fp32 for the host
+            fixed, flex, ok = [], [], True
+            for c in cons:
+                s = quant_consumer_scale(c, d)
+                if s is not None:
+                    flex.append(s)
+                    continue
+                if is_joiner(c) and id(c) in enabled:
+                    fixed.append(joiner_scale[id(c)])
+                    continue
+                passthrough = allow_pass and (
+                    c.type in (L.MAXPOOL, L.UPSAMPLE, L.DROPOUT)
+                    or (c.type == L.CONCAT and len(c.src) == 1)
+                )
+                if passthrough and c.dst and c.dst[0] in viable:
+                    fixed.append(viable[c.dst[0]])
+                    continue
+                ok = False
+                break
+            if not ok:
+                continue
+            if fixed:
+                if all(f == fixed[0] for f in fixed):
+                    viable[d] = fixed[0]
+            elif flex and all(f == flex[0] for f in flex):
+                viable[d] = flex[0]
+        stale = {
+            j
+            for j in enabled
+            if any(
+                viable.get(s) != joiner_scale[j]
+                for s in data_srcs(joiners[j])
             )
-            if passthrough and c.dst and c.dst[0] in viable:
-                req.append(viable[c.dst[0]])
-                continue
-            ok = False
-            break
-        if ok and req and all(r == req[0] for r in req):
-            viable[d] = req[0]
-    return viable
+        }
+        if not stale:
+            return viable
+        enabled -= stale

@@ -122,8 +122,12 @@ def test_int8_activation_flow_bit_identical_and_reaches_backbone():
     x = rng.rand(2, 3, 96, 96).astype(np.float32)
     outs = {}
     for flow in (False, True):
+        # flow_joiners off: joiners (eltwise / multi-src concat) quantize
+        # at a shared scale and are value-tolerant by design — the
+        # bit-identity contract holds for the exact-commute subset only
         net.quant = {
             "act_scales": scales, "weights": qw, "act_flow": flow,
+            "flow_joiners": False,
         }
         sess._forward_cache = {}
         (a, b), _ = sess.predict_on_batch(
@@ -144,3 +148,63 @@ def test_int8_activation_flow_bit_identical_and_reaches_backbone():
         1 for v in ex.values.values() if v.dtype == jnp.int8
     )
     assert n_int8 >= 10, f"only {n_int8} int8 tensors materialized"
+
+
+def test_int8_flow_joiners_cover_residual_trunk():
+    """flow_joiners (shared-scale int8 eltwise add / multi-src concat)
+    must (a) extend the int8 plan through a ResNet residual trunk that
+    the exact-commute rules alone cannot reach, and (b) keep outputs
+    within the PTQ accuracy budget of the plain (dequant-everywhere)
+    int8 path — the value-tolerant gate the bit-identity contract does
+    not cover."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu.compile import execute
+    from bcnn_tpu.models import resnet18
+    from bcnn_tpu.ops.quant import plan_int8_flow
+    from bcnn_tpu.types import LayerType
+
+    net = resnet18(batch_size=2, classes=10, mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    for k in list(sess.state):
+        if "run_var" in k:
+            sess.state[k] = jnp.ones_like(sess.state[k])
+    rng = np.random.RandomState(5)
+    x = rng.rand(2, 3, 224, 224).astype(np.float32) * 2 - 1
+    scales = calibrate(net, sess.params, sess.state, [x])
+    qw = quantize_weights(net, sess.params)
+
+    base = {"act_scales": scales, "weights": qw}
+    plan_off = plan_int8_flow(net, {**base, "flow_joiners": False})
+    plan_on = plan_int8_flow(net, {**base, "flow_joiners": True})
+    # every eltwise input the joiner plan covers is a tensor the exact
+    # plan could not; the trunk must be substantially covered
+    elt_srcs = {
+        s for n in net.nodes if n.type == LayerType.ELTWISE
+        for s in n.src[:2]
+    }
+    assert not (elt_srcs & set(plan_off)), "exact plan reached eltwise?"
+    n_elt_cov = len(elt_srcs & set(plan_on))
+    assert n_elt_cov >= 8, (
+        f"joiners cover only {n_elt_cov} of {len(elt_srcs)} eltwise inputs"
+    )
+
+    # int8 quality gate: joiner flow stays close to the plain int8 path
+    outs = {}
+    for joiners in (False, True):
+        net.quant = {**base, "flow_joiners": joiners}
+        sess._forward_cache = {}
+        (o,), _ = sess.predict_on_batch(x, outputs=["softmax"])
+        outs[joiners] = np.asarray(o).reshape(2, -1)
+    assert (outs[True].argmax(1) == outs[False].argmax(1)).all()
+    assert np.abs(outs[True] - outs[False]).max() < 0.15
+
+    # int8 tensors actually materialize through the trunk
+    net.quant = {**base, "flow_joiners": True}
+    ex = execute(
+        net, sess.params, sess.state,
+        {"input": jnp.asarray(x)},
+        Mode.PREDICT, None,
+    )
+    n_int8 = sum(1 for v in ex.values.values() if v.dtype == jnp.int8)
+    assert n_int8 >= len(plan_on) - 2, (n_int8, len(plan_on))

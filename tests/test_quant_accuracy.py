@@ -171,6 +171,87 @@ def test_int8_deconv_trained_net():
     )
 
 
+def test_int8_eltwise_joiner_flow_trained():
+    """Residual (eltwise-shortcut) net, trained: the shared-scale int8
+    joiner flow (flow_joiners) must hold accuracy within the same 2%
+    budget as the plain int8 path — the accuracy gate for the
+    value-tolerant extension (VERDICT r2 item 2)."""
+    from bcnn_tpu import Activation, FillerType, Loss, Metric, Net
+    from bcnn_tpu.ops.quant import plan_int8_flow
+    from bcnn_tpu.types import LayerType
+
+    X, R = FillerType.XAVIER, Activation.RELU
+    net = Net(Mode.TRAIN)
+    net.set_input_shape(16, 16, 3, 32)
+    net.set_sgd_optimizer(0.05, 0.9)
+    net.add_convolutional_layer(8, 3, 1, 1, 1, 1, X, R, 0, "input", "c1")
+    net.add_convolutional_layer(8, 3, 1, 1, 1, 1, X, R, 0, "c1", "c2")
+    net.add_eltwise_layer(R, "c2", "c1", "add1")
+    net.add_convolutional_layer(16, 3, 2, 1, 1, 1, X, R, 0, "add1", "c3")
+    net.add_convolutional_layer(16, 3, 1, 1, 1, 1, X, R, 0, "c3", "c4")
+    net.add_eltwise_layer(R, "c4", "c3", "add2")
+    net.add_avgpool_layer("add2", "pool")
+    net.add_fullc_layer(4, X, Activation.NONE, 0, "pool", "fc")
+    net.add_softmax_layer("fc", "softmax")
+    net.add_cost_layer(Loss.EUCLIDEAN, Metric.ERROR_RATE, 1.0, "softmax")
+
+    # train_and_quantize leaves flow_joiners at its default (ON)
+    fp32_acc, int8_acc = train_and_quantize(
+        net, 60, quadrant_batch(3, 16, 4)
+    )
+    assert fp32_acc > 0.9, f"training failed: {fp32_acc}"
+    assert int8_acc >= fp32_acc - 0.02, (
+        f"joiner int8 flow dropped accuracy: {fp32_acc} -> {int8_acc}"
+    )
+    # and the plan really covered the eltwise inputs
+    plan = plan_int8_flow(net, net.quant)
+    elt_srcs = {
+        s for n in net.nodes if n.type == LayerType.ELTWISE
+        for s in n.src[:2]
+    }
+    assert elt_srcs <= set(plan), (elt_srcs, sorted(plan))
+
+
+def test_percentile_calibration_outlier_robust():
+    """A single saturated outlier in the calibration set inflates abs-max
+    scales (the VERDICT r2 weakness); percentile calibration must shrug
+    it off and keep accuracy at the clean-calibration level."""
+    rng = np.random.RandomState(0)
+    net = lenet_mnist(batch_size=64)
+    net.set_sgd_optimizer(0.02, 0.9)
+    sess = Session(net, seed=0).compile_net()
+    for _ in range(40):
+        x, y = make_data(rng, 64)
+        sess.train_on_batch(x, y)
+    net.set_mode(Mode.VALID)
+    xt, yt = make_data(np.random.RandomState(99), 512)
+    fp32_acc = accuracy(sess, xt, yt)
+    assert fp32_acc > 0.9
+
+    xc, _ = make_data(np.random.RandomState(7), 128)
+    xc[0] *= 25.0  # one corrupted/saturated calibration sample
+    batches = [xc[i : i + 64] for i in (0, 64)]
+    qw = quantize_weights(net, sess.params)
+
+    # both calibrations BEFORE net.quant is set (calibrate must observe
+    # the fp32 trace, not the int8 path)
+    scales_by = {
+        m: calibrate(net, sess.params, sess.state, batches, method=m)
+        for m in ("absmax", "percentile")
+    }
+    # the outlier must not dominate the percentile scale
+    assert scales_by["percentile"][0] < scales_by["absmax"][0] * 0.5
+
+    accs = {}
+    for method, scales in scales_by.items():
+        net.quant = {"act_scales": scales, "weights": qw}
+        sess._forward_cache = {}
+        accs[method] = accuracy(sess, xt, yt)
+
+    assert accs["percentile"] >= fp32_acc - 0.02, accs
+    assert accs["percentile"] >= accs["absmax"] - 1e-9, accs
+
+
 def test_int8_deconv_op_close_to_fp32():
     import jax.numpy as jnp
 
