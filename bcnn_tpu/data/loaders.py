@@ -43,6 +43,11 @@ class DataLoader:
             open(test_path_extra, "rb") if test_path_extra else None
         )
         self._mode = Mode.TRAIN if self.f_train else Mode.PREDICT
+        # per-process stream striping (multi-host data loading): process p
+        # of P owns records [k*P*b + p*b, k*P*b + (p+1)*b) of each global
+        # batch k (b = net.batch_size = the LOCAL batch). None = whole
+        # stream (single process).
+        self._shard: Optional[Tuple[int, int]] = None
         aug_dict = getattr(net, "data_aug", {}) or {}
         self.augmenter = Augmenter.from_dict(aug_dict)
         # raw mode: skip host augmentation AND normalization, emitting raw
@@ -66,12 +71,37 @@ class DataLoader:
         return self.f_test_extra if self.f_test_extra else self.f_train_extra
 
     def set_mode(self, mode: Mode):
-        """Rewind the eval stream on switch (bcnn_data.c:526-535)."""
+        """Rewind the eval stream on switch (bcnn_data.c:526-535). With a
+        shard active, every process rewinds its own stream, so the stripe
+        alignment restarts at global batch 0 on all processes together."""
         self._mode = mode
         if mode != Mode.TRAIN:
             for f in (self.f_test, self.f_test_extra):
                 if f:
                     f.seek(0)
+
+    def set_shard(self, process_index: int, process_count: int):
+        """Per-process striping of the sequential stream (multi-host data
+        loading; the reference is single-process — bcnn_data.c:402-427 —
+        so this is the rebuild's DP extension of its FILE* semantics).
+
+        The global batch of a P-process run is P*b samples in file order;
+        process p reads its b-sample slice and SKIPS the other (P-1)*b
+        records (a seek for fixed-record formats, a readline for list
+        formats — no image decode), so the processes partition the
+        stream exactly like one process reading P*b per batch.
+
+        Per-shard stream semantics are preserved: EOF auto-rewind,
+        eval-stream rewind on mode switch, and skip-bad-sample (the retry
+        consumes the record following the slice, exactly like the
+        reference's same-stream retry; for a readable stream the
+        partition is exact, with corrupt records the affected process's
+        stripe shifts by one record per bad sample)."""
+        if not (0 <= process_index < process_count):
+            raise ValueError((process_index, process_count))
+        self._shard = (
+            None if process_count == 1 else (process_index, process_count)
+        )
 
     def close(self):
         for f in (
@@ -86,6 +116,16 @@ class DataLoader:
     # ---- batch assembly (bcnn_loader_next, bcnn_data.c:392-427) -------- #
 
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._shard is None:
+            return self._next_batch_impl()
+        pi, pc = self._shard
+        b = self.net.batch_size
+        self._skip_samples(pi * b)
+        out = self._next_batch_impl()
+        self._skip_samples((pc - 1 - pi) * b)
+        return out
+
+    def _next_batch_impl(self) -> Tuple[np.ndarray, np.ndarray]:
         net = self.net
         b = net.batch_size
         t0, t1 = net.tensors[0], net.tensors[1]
@@ -109,6 +149,20 @@ class DataLoader:
 
     def next_sample(self):
         raise NotImplementedError
+
+    def skip_sample(self):
+        """Advance the stream past one record WITHOUT producing it.
+        Default: parse-and-discard (bad records count as one record, as
+        in next_sample). Fixed-record loaders override with a seek; list
+        loaders with a readline — neither decodes the image."""
+        try:
+            self.next_sample()
+        except _SkipSample:
+            pass
+
+    def _skip_samples(self, n: int):
+        for _ in range(n):
+            self.skip_sample()
 
     # helpers shared by list loaders
     def _read_line_tokens(self, f: IO):
@@ -196,7 +250,7 @@ class MnistLoader(DataLoader):
         fimg.seek(16)
         flbl.seek(8)
 
-    def next_batch(self):
+    def _next_batch_impl(self):
         """Native C++ batch assembly (native/loader.cpp) when no host
         augmentation runs; bit-identical to the per-sample path."""
         if self.raw_mode or self._mode != Mode.TRAIN \
@@ -218,7 +272,20 @@ class MnistLoader(DataLoader):
                     out = None  # not a real file (BytesIO): python path
             if out is not None:
                 return out
-        return super().next_batch()
+        return super()._next_batch_impl()
+
+    def skip_sample(self):
+        """Record skip by seek: no decode, same rewind rules as
+        next_sample."""
+        fimg, flbl = self.f_current, self.f_current_extra
+        if not fimg.peek(1)[:1]:
+            fimg.seek(0)
+        if not flbl.peek(1)[:1]:
+            flbl.seek(0)
+        if fimg.tell() == 0 and flbl.tell() == 0:
+            self._read_header(fimg, flbl)
+        fimg.seek(self.img_w * self.img_h, 1)
+        flbl.seek(1, 1)
 
     def next_sample(self):
         fimg, flbl = self.f_current, self.f_current_extra
@@ -263,7 +330,7 @@ class Cifar10Loader(DataLoader):
         self.img_w = self.img_h = 32
         self.depth = 3
 
-    def next_batch(self):
+    def _next_batch_impl(self):
         """Native C++ batch assembly (native/loader.cpp) when no host
         augmentation runs; bit-identical to the per-sample path."""
         t0 = self.net.tensors[0]
@@ -293,7 +360,13 @@ class Cifar10Loader(DataLoader):
                 out = None
             if out is not None:
                 return out
-        return super().next_batch()
+        return super()._next_batch_impl()
+
+    def skip_sample(self):
+        f = self.f_current
+        if not f.peek(1)[:1]:
+            f.seek(0)
+        f.seek(self.img_w * self.img_h * self.depth + 1, 1)
 
     def next_sample(self):
         f = self.f_current
@@ -321,6 +394,9 @@ class ClassificationListLoader(DataLoader):
     def __init__(self, net, train_path, test_path=None):
         super().__init__(net, train_path, None, test_path, None)
 
+    def skip_sample(self):
+        self._read_line_tokens(self.f_current)  # no image decode
+
     def next_sample(self):
         toks = self._read_line_tokens(self.f_current)
         if not toks:
@@ -340,6 +416,9 @@ class RegressionListLoader(DataLoader):
 
     def __init__(self, net, train_path, test_path=None):
         super().__init__(net, train_path, None, test_path, None)
+
+    def skip_sample(self):
+        self._read_line_tokens(self.f_current)  # no image decode
 
     def next_sample(self):
         toks = self._read_line_tokens(self.f_current)
@@ -366,6 +445,9 @@ class DetectionListLoader(DataLoader):
 
     def __init__(self, net, train_path, test_path=None):
         super().__init__(net, train_path, None, test_path, None)
+
+    def skip_sample(self):
+        self._read_line_tokens(self.f_current)  # no image decode
 
     def next_sample(self):
         net = self.net

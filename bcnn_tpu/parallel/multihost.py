@@ -16,9 +16,10 @@ API whole:
     mesh = multihost.global_mesh()          # all hosts' devices
     step = make_dp_train_step(net, mesh)    # as on one host
 
-Per-host data loading: shard the input files across hosts (each host's
-loader feeds only its addressable shard of the batch), then build arrays
-with `multihost.host_local_batch`.
+Per-host data loading: `multihost.shard_loader(loader)` stripes the
+sequential stream across processes (DataLoader.set_shard) so each host
+reads only its slice of every global batch; feed the result to
+`multihost.host_local_batch` to assemble the global batch-sharded arrays.
 """
 
 from __future__ import annotations
@@ -68,3 +69,13 @@ def process_batch_slice(total_batch: int):
     i = jax.process_index()
     per = total_batch // n
     return i * per, per
+
+
+def shard_loader(loader):
+    """Stripe a streaming DataLoader across the processes of the cluster:
+    each process reads its slice of every global batch and seeks past the
+    others' (DataLoader.set_shard), so the cluster as a whole consumes the
+    stream in exactly the single-process order. net.batch_size must be
+    the per-host batch. Returns the loader for chaining."""
+    loader.set_shard(jax.process_index(), jax.process_count())
+    return loader

@@ -12,18 +12,18 @@ import os
 import sys
 
 
-def build_net(batch):
+def build_net(batch, w=12, h=12, c=3, classes=4):
     from bcnn_tpu import Activation, FillerType, Loss, Metric, Mode, Net
 
     net = Net(Mode.TRAIN)
-    net.set_input_shape(12, 12, 3, batch)
+    net.set_input_shape(w, h, c, batch)
     net.set_sgd_optimizer(0.05, 0.9)
     net.add_convolutional_layer(
         8, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.RELU, 0,
         "input", "c1",
     )
     net.add_fullc_layer(
-        4, FillerType.XAVIER, Activation.NONE, 0, "c1", "f"
+        classes, FillerType.XAVIER, Activation.NONE, 0, "c1", "f"
     )
     net.add_softmax_layer("f", "s")
     net.add_cost_layer(Loss.EUCLIDEAN, Metric.ERROR_RATE, 1.0, "s")
@@ -40,10 +40,116 @@ def global_batch(batch, step):
     return x, y
 
 
+def run_loader_phase(proc_id, outfile, img_path, lbl_path):
+    """Sharded streaming loaders end-to-end: each process reads only its
+    stripe of the MNIST stream (multihost.shard_loader) and the cluster
+    trains on the exact global batch order a single process would see."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.data.loaders import MnistLoader
+    from bcnn_tpu.parallel import make_dp_train_step, multihost
+
+    gbatch = 16
+    local = gbatch // jax.process_count()
+    step_net = build_net(gbatch, 28, 28, 1, 10)
+    loader_net = build_net(local, 28, 28, 1, 10)
+    loader = multihost.shard_loader(
+        MnistLoader(loader_net, img_path, lbl_path)
+    )
+    sess = Session(step_net, 0).compile_net()
+    mesh = multihost.global_mesh()
+    step = make_dp_train_step(step_net, mesh)
+    repl = NamedSharding(mesh, P())
+    rep = lambda v: jax.make_array_from_process_local_data(  # noqa: E731
+        repl, np.asarray(v)
+    )
+    params = {k: rep(v) for k, v in sess.params.items()}
+    state = {k: rep(v) for k, v in sess.state.items()}
+    opt = jax.tree.map(rep, sess.opt_state)
+    key = rep(jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(3):
+        x, y = loader.next_batch()  # this process's stripe only
+        bt = multihost.host_local_batch(
+            mesh, x, y.reshape(local, -1, 1, 1)
+        )
+        params, state, opt, loss = step(params, state, opt, bt, key)
+        losses.append(float(np.asarray(loss)))
+    if proc_id == 0:
+        with open(outfile, "w") as fp:
+            fp.write(" ".join(f"{v:.8e}" for v in losses))
+
+
+def run_resume_phase(phase, proc_id, outfile, ckpt_path):
+    """Fault-recovery across the cluster boundary: phase A trains 2 steps
+    and checkpoints (then the cluster dies); phase B is a FRESH cluster
+    that restores the checkpoint and continues steps 2-3. The B losses
+    must continue the uninterrupted trajectory."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from bcnn_tpu.parallel import make_dp_train_step, multihost
+
+    batch = 16
+    net = build_net(batch)
+    mesh = multihost.global_mesh()
+    step = make_dp_train_step(net, mesh)
+    repl = NamedSharding(mesh, P())
+    rep = lambda v: jax.make_array_from_process_local_data(  # noqa: E731
+        repl, np.asarray(v)
+    )
+    if phase == "resume_a":
+        sess = Session(net, 0).compile_net()
+        params = {k: rep(v) for k, v in sess.params.items()}
+        state = {k: rep(v) for k, v in sess.state.items()}
+        opt = jax.tree.map(rep, sess.opt_state)
+        steps = range(0, 2)
+    else:
+        p_np, s_np, o_np, extra = load_checkpoint(ckpt_path)
+        assert int(np.asarray(extra["next_step"])) == 2
+        params = {k: rep(v) for k, v in p_np.items()}
+        state = {k: rep(v) for k, v in s_np.items()}
+        opt = jax.tree.map(rep, o_np)
+        steps = range(2, 4)
+    key = rep(jax.random.PRNGKey(0))
+
+    losses = []
+    for i in steps:
+        x, y = global_batch(batch, i)
+        start, size = multihost.process_batch_slice(batch)
+        bt = multihost.host_local_batch(
+            mesh, x[start:start + size], y[start:start + size]
+        )
+        params, state, opt, loss = step(params, state, opt, bt, key)
+        losses.append(float(np.asarray(loss)))
+
+    if phase == "resume_a":
+        if proc_id == 0:
+            # replicated arrays: device 0's shard is the full value
+            full = lambda v: np.asarray(v.addressable_data(0))  # noqa: E731
+            save_checkpoint(
+                ckpt_path,
+                {k: full(v) for k, v in params.items()},
+                {k: full(v) for k, v in state.items()},
+                jax.tree.map(full, opt),
+                extra={"next_step": 2},
+            )
+    elif proc_id == 0:
+        with open(outfile, "w") as fp:
+            fp.write(" ".join(f"{v:.8e}" for v in losses))
+
+
 def main():
     coordinator, n_proc, proc_id, outfile = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    phase = sys.argv[5] if len(sys.argv) > 5 else "base"
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -68,6 +174,15 @@ def main():
     assert jax.process_count() == n_proc, jax.process_count()
     assert jax.device_count() == 4 * n_proc, jax.device_count()
     assert jax.local_device_count() == 4
+
+    if phase == "loader":
+        run_loader_phase(proc_id, outfile, sys.argv[6], sys.argv[7])
+        jax.distributed.shutdown()
+        return
+    if phase in ("resume_a", "resume_b"):
+        run_resume_phase(phase, proc_id, outfile, sys.argv[6])
+        jax.distributed.shutdown()
+        return
 
     batch = 16
     net = build_net(batch)

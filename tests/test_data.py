@@ -82,6 +82,68 @@ def test_mnist_mode_switch_rewinds_test_stream(tmp_path):
     np.testing.assert_array_equal(y1, y2)
 
 
+def test_sharded_streams_partition_global_batches(tmp_path):
+    """DataLoader.set_shard: P sharded loaders (per-host batch b) must
+    jointly reproduce, without overlap, exactly the batches a single
+    loader with batch P*b reads — including the EOF auto-rewind inside a
+    striped epoch."""
+    n = 22  # not a multiple of the global batch: exercises rewind
+    pimg, plbl, imgs, labels = write_mnist(tmp_path, n=n)
+    b, P = 4, 2
+
+    net_g = make_net(batch=b * P)
+    ref = MnistLoader(net_g, pimg, plbl)
+    shards = []
+    for p in range(P):
+        net_s = make_net(batch=b)
+        ld = MnistLoader(net_s, pimg, plbl)
+        ld.set_shard(p, P)
+        shards.append(ld)
+
+    for _ in range(7):  # crosses the n=22 rewind repeatedly
+        xg, yg = ref.next_batch()
+        for p, ld in enumerate(shards):
+            xs, ys = ld.next_batch()
+            np.testing.assert_array_equal(xs, xg[p * b : (p + 1) * b])
+            np.testing.assert_array_equal(ys, yg[p * b : (p + 1) * b])
+
+
+def test_sharded_list_loader_partitions(tmp_path):
+    """Same striping contract for a line-oriented loader (classification
+    list): skips are readline-only, no image decode."""
+    from bcnn_tpu.data.loaders import ClassificationListLoader
+
+    rng = np.random.RandomState(2)
+    lines = []
+    for i in range(10):
+        img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"s{i}.png"
+        bip.write_image(str(p), img)
+        lines.append(f"{p} {i % 4}")
+    lst = tmp_path / "cl.txt"
+    lst.write_text("\n".join(lines) + "\n")
+
+    b, P = 2, 2
+    net_g = make_net(8, 8, 3, batch=b * P, label=4)
+    net_g.mode = Mode.VALID
+    ref = ClassificationListLoader(net_g, str(lst))
+    ref.set_mode(Mode.VALID)
+    shards = []
+    for p in range(P):
+        net_s = make_net(8, 8, 3, batch=b, label=4)
+        net_s.mode = Mode.VALID
+        ld = ClassificationListLoader(net_s, str(lst))
+        ld.set_mode(Mode.VALID)
+        ld.set_shard(p, P)
+        shards.append(ld)
+    for _ in range(5):
+        xg, yg = ref.next_batch()
+        for p, ld in enumerate(shards):
+            xs, ys = ld.next_batch()
+            np.testing.assert_array_equal(xs, xg[p * b : (p + 1) * b])
+            np.testing.assert_array_equal(ys, yg[p * b : (p + 1) * b])
+
+
 def test_cifar10_loader(tmp_path):
     rng = np.random.RandomState(1)
     n = 10

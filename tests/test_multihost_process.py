@@ -26,6 +26,125 @@ def _free_port():
     return port
 
 
+def _launch_cluster(extra_args, timeout=420):
+    """Run a 2-process jax.distributed cluster of multihost_worker.py with
+    the given per-phase args; assert both workers exit 0."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own 4-device forcing
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(WORKER))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, f"localhost:{port}", "2", str(i)]
+            + extra_args,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(WORKER)),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=timeout) for p in procs]
+    finally:
+        for p in procs:  # no orphaned jax.distributed workers on failure
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so[-2000:]}\n{se[-2000:]}"
+
+
+def test_two_process_sharded_loader_matches_single_process(tmp_path):
+    """Per-process sharded STREAMING loaders, end-to-end: two processes
+    each read only their stripe of the same MNIST files
+    (multihost.shard_loader) and the cluster's loss trajectory equals a
+    single process reading the whole stream in file order."""
+    import jax
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.data.loaders import MnistLoader
+    from bcnn_tpu.parallel import (
+        make_dp_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from tests.multihost_worker import build_net
+    from tests.test_data import write_mnist
+
+    img, lbl, _, _ = write_mnist(tmp_path, n=30)
+    gbatch = 16
+    net = build_net(gbatch, 28, 28, 1, 10)
+    loader = MnistLoader(net, img, lbl)  # unsharded: whole stream
+    sess = Session(net, 0).compile_net()
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    step = make_dp_train_step(net, mesh)
+    params = replicate(mesh, sess.params)
+    state = replicate(mesh, sess.state)
+    opt = replicate(mesh, sess.opt_state)
+    key = replicate(mesh, jax.random.PRNGKey(0))
+    want = []
+    for _ in range(3):
+        x, y = loader.next_batch()
+        bt = shard_batch(
+            mesh, {"input": x, "label": y.reshape(gbatch, -1, 1, 1)}
+        )
+        params, state, opt, loss = step(params, state, opt, bt, key)
+        want.append(float(np.asarray(loss)))
+
+    outfile = str(tmp_path / "loader_losses.txt")
+    _launch_cluster([outfile, "loader", img, lbl])
+    got = [float(v) for v in open(outfile).read().split()]
+    assert len(got) == 3
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_two_process_checkpoint_resume_continues_trajectory(tmp_path):
+    """Fault recovery across the cluster boundary (SURVEY §5): cluster A
+    trains 2 steps and writes a full-state checkpoint, dies; a FRESH
+    cluster B restores it and must continue exactly the uninterrupted
+    4-step trajectory's steps 2-3."""
+    import jax
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.parallel import (
+        make_dp_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from tests.multihost_worker import build_net, global_batch
+
+    batch = 16
+    net = build_net(batch)
+    sess = Session(net, 0).compile_net()
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    step = make_dp_train_step(net, mesh)
+    params = replicate(mesh, sess.params)
+    state = replicate(mesh, sess.state)
+    opt = replicate(mesh, sess.opt_state)
+    key = replicate(mesh, jax.random.PRNGKey(0))
+    want = []
+    for i in range(4):  # uninterrupted reference
+        x, y = global_batch(batch, i)
+        bt = shard_batch(mesh, {"input": x, "label": y})
+        params, state, opt, loss = step(params, state, opt, bt, key)
+        want.append(float(np.asarray(loss)))
+
+    ckpt = str(tmp_path / "cluster.ckpt.npz")
+    outfile = str(tmp_path / "resume_losses.txt")
+    _launch_cluster([outfile, "resume_a", ckpt])
+    assert os.path.exists(ckpt), "cluster A wrote no checkpoint"
+    assert not os.path.exists(outfile)  # A died before reporting
+    _launch_cluster([outfile, "resume_b", ckpt])
+    got = [float(v) for v in open(outfile).read().split()]
+    assert len(got) == 2
+    np.testing.assert_allclose(got, want[2:], rtol=1e-5, atol=1e-7)
+
+
 def test_two_process_dp_training_matches_single_process(tmp_path):
     # reference trajectory on this process's 8-device CPU mesh
     import jax
