@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import ops
 from .graph import Net, Node, TensorKind
 from .ops.losses import compute_metric, euclidean_surrogate
-from .types import Activation, Loss, Mode
+from .types import Activation, LayerType, Loss, Mode
 
 
 def nchw_to_nhwc(x: jax.Array) -> jax.Array:
@@ -68,6 +68,80 @@ def _flatten_nchw(x: jax.Array) -> jax.Array:
     if x.ndim == 4:
         x = nhwc_to_nchw(x)
     return x.reshape(x.shape[0], -1)
+
+
+# layers whose reference backward OVERWRITES the src grad buffer instead
+# of accumulating into it (see run()'s routing comment for the citations)
+_OVERWRITE_BWD = frozenset(
+    {
+        LayerType.CONV2D,
+        LayerType.TRANSPOSE_CONV2D,
+        LayerType.BATCHNORM,
+        LayerType.LRN,
+    }
+)
+
+
+def _data_srcs(node: Node):
+    """The tensor indices a node reads as DATA (grad-carrying inputs),
+    mirroring which src slots the reference's backward writes."""
+    if node.type == LayerType.CONCAT:
+        return list(node.src)
+    if node.type == LayerType.ELTWISE:
+        return list(node.src[:2])
+    return [node.src[0]] if node.src else []
+
+
+def build_grad_routing(net: Net):
+    """Static SSA pass: for every produced tensor VERSION with more than
+    one consumer of which at least one overwrites its grad in the
+    reference backward, record the ordered consumer list. Key:
+    (tensor index, producing node position) -> [(consumer pos, ov)]."""
+    version_producer: Dict[int, int] = {}
+    consumers: Dict[Tuple[int, int], list] = {}
+    for i, node in enumerate(net.nodes):
+        for s in _data_srcs(node):
+            key = (s, version_producer.get(s, -1))
+            lst = consumers.setdefault(key, [])
+            if lst and lst[-1][0] == i:
+                continue  # same node reading twice: one tap, summed edges
+            lst.append((i, node.type in _OVERWRITE_BWD))
+        for d in node.dst:
+            version_producer[d] = i
+    return {
+        k: lst
+        for k, lst in consumers.items()
+        if k[1] >= 0  # graph inputs carry no grad in the reference
+        and len(lst) >= 2
+        and any(ov for _, ov in lst)
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grad_split(flags: Tuple[bool, ...], x: jax.Array):
+    """Identity fan-out whose backward combines the consumer cotangents
+    the way the reference's reverse node scan writes the shared grad
+    buffer: consumers are processed from LATEST node to EARLIEST
+    (backward order); an accumulating consumer adds its cotangent, an
+    overwriting one replaces the running value."""
+    return tuple(x for _ in flags)
+
+
+def _grad_split_fwd(flags, x):
+    return _grad_split(flags, x), None
+
+
+def _grad_split_bwd(flags, _, gs):
+    val = None
+    for g, ov in reversed(list(zip(gs, flags))):
+        if ov:
+            val = g
+        else:
+            val = g if val is None else val + g
+    return (val,)
+
+
+_grad_split.defvjp(_grad_split_fwd, _grad_split_bwd)
 
 
 class _Executor:
@@ -121,11 +195,52 @@ class _Executor:
         return self.params[self.key_of(idx)]
 
     def run(self):
+        # reference-faithful gradient ROUTING for branched graphs (TRAIN):
+        # the reference's per-layer backwards differ in how they write the
+        # shared src grad buffer — conv dX ends in a zeroing col2im
+        # (bcnn_mat.c bcnn_col2im), deconv dX is a beta=0 GEMM
+        # (bcnn_deconv_layer.c:236-244), standalone BN COPIES its dx
+        # (bcnn_batchnorm_layer.c:326-329), LRN overwrites via bcnn_pow —
+        # while maxpool/concat/eltwise/fc/dw/upsample/avgpool/softmax/
+        # yolo/cost all ACCUMULATE (+=). Backward runs in reverse node
+        # order, so when a tensor feeds both a skip connection and an
+        # earlier conv, the conv's backward runs LAST and OVERWRITES the
+        # accumulated skip gradient — the reference silently drops skip
+        # gradients through overwriting consumers (this is how its own
+        # ResNet example trains). _grad_split replicates that combination
+        # rule exactly; versions without an overwriting consumer keep the
+        # default autodiff sum (identical to the reference's += chain).
+        # net.ref_grad_routing=False opts out (pure autodiff accumulation
+        # — the mathematically correct routing — at the cost of exact
+        # trajectory parity on branched graphs).
+        route = (
+            build_grad_routing(self.net)
+            if self.mode == Mode.TRAIN
+            and getattr(self.net, "ref_grad_routing", True)
+            else {}
+        )
+        taps: Dict[Tuple[int, int], jax.Array] = {}
         for i, node in enumerate(self.net.nodes):
             rng = (
                 jax.random.fold_in(self.rng, i) if self.rng is not None else None
             )
+            swapped = {}
+            for s in set(_data_srcs(node)):
+                tap = taps.get((s, i))
+                if tap is not None:
+                    swapped[s] = self.values[s]
+                    self.values[s] = tap
             getattr(self, f"_{node.type.name.lower()}")(node, rng)
+            for s, old in swapped.items():
+                if s not in node.dst:  # in-place nodes keep their write
+                    self.values[s] = old
+            for d in node.dst:
+                rec = route.get((d, i))
+                if rec:
+                    flags = tuple(ov for _, ov in rec)
+                    outs = _grad_split(flags, self.values[d])
+                    for (pos, _), o in zip(rec, outs):
+                        taps[(d, pos)] = o
         return self
 
     # ------------------------------------------------------------------ #

@@ -143,6 +143,12 @@ class Net:
         # (bcnn_deconv_layer.c:97-101 vs :177-180; see
         # ops.conv.conv2d_transpose_ref_quirk). Off = standard transpose.
         self.ref_deconv_quirk = False
+        # reference-faithful gradient routing on branched graphs
+        # (compile.build_grad_routing): conv/deconv/BN/LRN backwards
+        # OVERWRITE the shared src grad in the reference, dropping
+        # accumulated skip gradients. Default ON (exact training parity);
+        # set False for true autodiff accumulation.
+        self.ref_grad_routing = True
         self._used_keys: set = set()
         # data augmentation config (bcnn_data.h:53-94), set via setters
         self.data_aug: Dict[str, Any] = {}

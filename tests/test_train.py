@@ -108,3 +108,63 @@ def test_dropout_only_in_train():
     (out1,), _ = sess.predict_on_batch(x, outputs=["c"])
     (out2,), _ = sess.predict_on_batch(x, outputs=["c"])
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def _residual_net(ref_routing=True):
+    net = Net(Mode.TRAIN)
+    net.ref_grad_routing = ref_routing
+    net.set_input_shape(8, 8, 2, 4)
+    net.set_sgd_optimizer(0.05, 0.0)
+    net.add_convolutional_layer(
+        4, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.RELU, 0,
+        "input", "t0",
+    )
+    # t0 feeds BOTH a conv (overwriting backward in the reference) and a
+    # later eltwise shortcut (accumulating backward)
+    net.add_convolutional_layer(
+        4, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.RELU, 0, "t0", "t1"
+    )
+    net.add_eltwise_layer(Activation.NONE, "t1", "t0", "t2")
+    net.add_fullc_layer(
+        4, FillerType.XAVIER, Activation.NONE, 0, "t2", "f"
+    )
+    net.add_softmax_layer("f", "s")
+    net.add_cost_layer(Loss.EUCLIDEAN, Metric.ERROR_RATE, 1.0, "s")
+    return net
+
+
+def test_ref_grad_routing_drops_skip_gradient():
+    """compile.build_grad_routing replicates the reference's backward
+    buffer semantics: a conv consumer's dX OVERWRITES the skip path's
+    accumulated gradient (col2im zero-fill, bcnn_mat.c), so with
+    ref_grad_routing (default ON) the first conv trains as if the eltwise
+    shortcut contributed no gradient; ref_grad_routing=False restores
+    true autodiff accumulation and must differ. The ON semantics are
+    pinned bit-level against the compiled reference by
+    tests/test_training_parity.py (seed-40 two-step weight parity)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 2, 8, 8).astype(np.float32)
+    y = np.zeros((4, 4, 1, 1), np.float32)
+    y[np.arange(4), rng.randint(0, 4, 4)] = 1.0
+
+    updated = {}
+    for flag in (True, False):
+        net = _residual_net(flag)
+        sess = Session(net, seed=0).compile_net()
+        # FIRST conv's weights: the reference names weights after the
+        # SRC tensor ("%s_w"), so conv(input->t0) owns "input_w"
+        w_before = np.asarray(sess.params["input_w"]).copy()
+        sess.train_on_batch(x, y)
+        updated[flag] = np.asarray(sess.params["input_w"]) - w_before
+        # the net still learns either way
+        assert np.abs(updated[flag]).max() > 0
+    # routing changes the first conv's gradient (skip edge dropped)
+    assert not np.allclose(updated[True], updated[False], atol=1e-7)
+
+    # sanity: with only ACCUMULATING consumers (maxpool + eltwise) the
+    # routing plan is empty and both flags give identical grads
+    from bcnn_tpu.compile import build_grad_routing
+
+    net = _residual_net(True)
+    plan = build_grad_routing(net)
+    assert plan, "conv+eltwise branch must be in the routing plan"
