@@ -126,9 +126,6 @@ def yolo_train_deltas(
     obj = yr[..., 4]
     delta_obj = jnp.where(best_iou > NOOBJ_IOU_THRESH, 0.0, obj)
 
-    delta = jnp.zeros_like(yr)
-    delta = delta.at[..., 4].set(delta_obj)
-
     # ---- per-truth assignment, one pass -------------------------------- #
     # The reference iterates truths in order, each OVERWRITING the full
     # (5+K)-vector at its target (cell, anchor) with values computed from
@@ -189,7 +186,11 @@ def yolo_train_deltas(
     )  # (N,T,5+K)
 
     # last-writer-wins: scatter-max the truth index into a flat slot map
-    # (one extra dummy slot absorbs non-owned truths), then gather.
+    # (one extra dummy slot absorbs non-owned truths), then scatter the
+    # WINNING rows only. A gather formulation
+    # (take_along_axis(upd, winner) over all HWA slots) materializes an
+    # extra head-sized (N,HWA,5+K) tensor — measured +8 ms per 256-batch
+    # train step on v5e; the winners-only scatter touches 50 rows.
     hwa = h * w * num
     pos = (cj * w + ci) * num + mask_n  # (N,T)
     pos = jnp.where(owned, pos, hwa)
@@ -199,14 +200,26 @@ def yolo_train_deltas(
         .at[bidx, pos]
         .max(t_iota)[:, :hwa]
     )  # (N,HWA)
-    have = winner >= 0
-    upd_sel = jnp.take_along_axis(
-        upd, jnp.maximum(winner, 0)[..., None], axis=1
-    )  # (N,HWA,5+K)
-    delta = jnp.where(
-        have[..., None], upd_sel, delta.reshape(n, hwa, e)
+    has_winner = winner >= 0
+    # did truth t win its slot? (small gather over the 50 truths)
+    won = (
+        jnp.take_along_axis(
+            jnp.pad(winner, ((0, 0), (0, 1)), constant_values=-1),
+            pos, axis=1,
+        )
+        == t_iota
+    )  # (N,T); non-owned truths point at the dummy slot (-1 != t)
+    # channels != 4 come ONLY from winners: scatter-add into zeros
+    # (winners are unique per slot, losers add 0 — exact)
+    upd_w = jnp.where(won[..., None], upd, 0.0)
+    scat = (
+        jnp.zeros((n, hwa + 1, e), yr.dtype)
+        .at[bidx, pos, :]
+        .add(upd_w)[:, :hwa]
     )
-    return delta.reshape(n, h, w, num * e)
+    # channel 4: the noobj delta everywhere a winner did not land
+    ch4 = jnp.where(has_winner, scat[..., 4], delta_obj.reshape(n, hwa))
+    return scat.at[..., 4].set(ch4).reshape(n, h, w, num * e)
 
 
 def _yolo_train_deltas_loop(
