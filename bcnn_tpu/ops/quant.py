@@ -135,7 +135,14 @@ def conv2d_int8(
     stride: int, pad: int, groups: int = 1,
 ) -> jax.Array:
     """int8 x int8 -> int32 MXU conv, dequantized to fp32.
-    x already int8 (N,H,W,C); wq int8 (k,k,I,O); w_scale (O,)."""
+    x already int8 (N,H,W,C); wq int8 (k,k,I,O); w_scale (O,).
+
+    The alternative formulations in ops/conv (_depthwise_fma int32,
+    _conv_s2d2) are bit-identical here (exact integer reassociation,
+    tests/test_ops.py) but measured SLOWER in-model on v5e (MobileNet
+    int8 13.9 -> 28.7 ms/256; ResNet int8 14.1 -> 14.0 ms) — direct
+    lowering kept; see ops/conv._conv_best for the pinned negative
+    result."""
     acc = jax.lax.conv_general_dilated(
         x,
         wq,

@@ -122,6 +122,64 @@ def test_deconv_ref_quirk_pad_changes_output():
     assert not np.allclose(np.asarray(std), np.asarray(quirk), atol=1e-3)
 
 
+@pytest.mark.parametrize("k,c", [(7, 3), (3, 3), (3, 1), (5, 4)])
+def test_conv_s2d2_equals_direct(k, c):
+    """Space-to-depth stride-2 rewrite (perf path for thin inputs) is the
+    same contraction reassociated — must match the direct lowering."""
+    from bcnn_tpu.ops.conv import _conv_raw, _conv_s2d2
+
+    rng = np.random.RandomState(5)
+    pad = k // 2
+    x = jnp.asarray(rng.randn(2, 17, 17, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, c, 8).astype(np.float32))
+    want = _conv_raw(x, w, 2, pad, 1, jax.lax.Precision.HIGHEST,
+                     jnp.float32)
+    got = _conv_s2d2(x, w, pad, jax.lax.Precision.HIGHEST, jnp.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("k,s", [(3, 1), (3, 2), (5, 1)])
+def test_depthwise_fma_equals_grouped(k, s):
+    """Shifted-FMA depthwise (perf path) vs the grouped-conv lowering."""
+    from bcnn_tpu.ops.conv import _conv_raw, _depthwise_fma
+
+    rng = np.random.RandomState(6)
+    pad = k // 2
+    x = jnp.asarray(rng.randn(2, 12, 12, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 1, 16).astype(np.float32))
+    want = _conv_raw(x, w, s, pad, 16, jax.lax.Precision.HIGHEST,
+                     jnp.float32)
+    got = _depthwise_fma(x, w, s, pad, jnp.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_int8_s2d_bit_identical():
+    """Integer accumulation is exact under reassociation: the int8 s2d
+    rewrite is BIT-identical to the direct strided int8 conv. (Both
+    alternative formulations are dispatch-OFF — pinned negative result,
+    ops/conv._conv_best — this guards the math for future revisits.)"""
+    import jax.lax as lax
+
+    from bcnn_tpu.ops.conv import _conv_s2d2
+
+    rng = np.random.RandomState(7)
+    x2 = jnp.asarray(rng.randint(-127, 128, (2, 15, 15, 3), dtype=np.int8))
+    w2 = jnp.asarray(rng.randint(-127, 128, (7, 7, 3, 8), dtype=np.int8))
+    want = lax.conv_general_dilated(
+        x2, w2, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    got = _conv_s2d2(x2, w2, 3, None, jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_maxpool_border_semantics():
     """SAME 2x2/s2 on odd size: last window reads -inf outside, so output
     equals max of the in-range elements (bcnn_maxpool_layer.c:163-183)."""
