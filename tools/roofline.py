@@ -1,22 +1,19 @@
-"""Roofline audit of the model zoo on one TPU chip.
+"""Per-model roofline audit: XLA cost/memory analysis + measured wall
+time -> GFLOP/s, GB/s, and %-of-wall for each benchmark model.
 
-For each (model, precision) program this measures best-of-rounds wall
-time and pulls XLA's own cost analysis (flops, bytes accessed) from the
-compiled executable (profiling.memory_report), then places the program
-against the v5e roofline:
+The reference's harness reports wall time only
+(inference_benchmark.c:92-112); this tool adds the piece that makes a
+number falsifiable: the program's own FLOP and byte counts from XLA's
+cost analysis, positioned against the chip's walls (v5e: 819 GB/s HBM,
+~197 bf16 TFLOP/s, ~394 int8 TOPS). A model "at the wall" has no
+headroom without changing the program's bytes; one far off its wall has
+a pinned, attributable gap.
 
-    t_flops = flops / peak_flops        (MXU ceiling for the dtype)
-    t_bytes = bytes_accessed / hbm_bw   (memory wall)
-    floor   = max(t_flops, t_bytes)     -> %-of-wall = floor / measured
+Usage:
+  python tools/roofline.py                      # all configs
+  python tools/roofline.py mobilenet-v1:int8:256  yolov3:bf16:32
 
-The reference's own harness reports only min/max/avg ms
-(examples/inference_benchmark/inference_benchmark.c:92-112); this adds
-the "is that good?" column VERDICT r2 asked for. Results are pasted into
-BENCHMARKS.md.
-
-Usage (ONE TPU job at a time — see CLAUDE.md):
-    python tools/roofline.py [--models mobilenet-v1,resnet18,yolov3]
-                             [--runs 12]
+Prints one JSON line per config plus a markdown table at the end.
 """
 
 import argparse
@@ -26,65 +23,53 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bcnn_tpu_jax_cache")
 
 import jax
-
-# honor JAX_PLATFORMS=cpu for chip-less smoke runs: the container's
-# sitecustomize pins the axon TPU plugin, env vars alone don't switch
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 import numpy as np
 
-# TPU v5e single chip
-PEAK = {"bf16": 197e12, "int8": 394e12, "fp32": 197e12 / 4}
-HBM_BW = 819e9  # bytes/s
+# v5e single-chip walls
+HBM_GBPS = 819.0
+BF16_TFLOPS = 197.0
+INT8_TOPS = 394.0
+FP32_TFLOPS = 98.5
+
+DEFAULT_CONFIGS = [
+    "mobilenet-v1:bf16:256",
+    "mobilenet-v1:int8:256",
+    "resnet18:bf16:256",
+    "resnet18:int8:256",
+    "yolov3:bf16:32",
+    "yolov3:int8:32",
+    "yolov3-tiny:bf16:256",
+    "yolov3-tiny:int8:256",
+]
 
 
-def build(name, batch, precision):
-    from bcnn_tpu import Mode, Session
-    from bcnn_tpu import models
+def build_forward(model, mode, batch):
+    """Same program shape as examples/inference_benchmark.py: PREDICT
+    forward to the head tensors, checksum outputs (sync reads otherwise
+    measure tunnel bandwidth)."""
+    import types as pytypes
 
-    builders = {
-        "yolov3-tiny": lambda: models.yolov3_tiny(batch),
-        "yolov3": lambda: models.yolov3(batch, width=608, height=608),
-        "mobilenet-v1": lambda: models.mobilenet_v1(batch),
-        "resnet18": lambda: models.resnet18(batch),
-    }
-    net = builders[name]()
-    if precision != "fp32":
-        net.compute_dtype = jnp.bfloat16
-    sess = Session(net, seed=0).compile_net()
-    if precision == "int8":
-        from bcnn_tpu.ops.quant import calibrate, quantize_weights
+    from examples.inference_benchmark import build
 
-        for k in list(sess.state):
-            if "run_var" in k:
-                sess.state[k] = jnp.ones_like(sess.state[k])
-        t0 = net.tensors[0]
-        calib = np.random.RandomState(1).rand(
-            min(4, t0.n), t0.c, t0.h, t0.w
-        ).astype(np.float32)
-        net.quant = {
-            "act_scales": calibrate(net, sess.params, sess.state, [calib]),
-            "weights": quantize_weights(net, sess.params),
-        }
-    return net, sess
+    args = pytypes.SimpleNamespace(
+        config=None, weights=None, model=model, batch=batch,
+        bf16=(mode != "fp32"), int8=(mode == "int8"),
+    )
+    net, sess = build(args)
 
-
-def audit(name, batch, precision, runs):
     from bcnn_tpu import Mode
     from bcnn_tpu.compile import execute
-    from bcnn_tpu.profiling import memory_report
     from bcnn_tpu.types import LayerType
 
-    net, sess = build(name, batch, precision)
-    yolo_idx = [n.dst[0] for n in net.nodes if n.type == LayerType.YOLOV3]
-    out_idx = yolo_idx or [
-        n.dst[0] for n in net.nodes if n.type != LayerType.COST
+    out_idx = [
+        n.dst[0] for n in net.nodes if n.type not in (LayerType.COST,)
     ][-1:]
+    yolo_idx = [n.dst[0] for n in net.nodes if n.type == LayerType.YOLOV3]
+    if yolo_idx:
+        out_idx = yolo_idx
 
     def forward(params, state, x):
         ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
@@ -96,73 +81,91 @@ def audit(name, batch, precision, runs):
     x = jnp.asarray(
         np.random.RandomState(0).rand(t0.n, t0.c, t0.h, t0.w), jnp.float32
     )
-    rep = memory_report(forward, sess.params, sess.state, x)
+    return forward, sess, x, t0.n
 
-    fwd = jax.jit(forward)
 
-    def sync(o):
-        jax.block_until_ready(o)
-        return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0])
+def sync(o):
+    jax.block_until_ready(o)
+    return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0])
 
-    sync(fwd(sess.params, sess.state, x))
-    round_bests = []
-    burst = 6
-    for _ in range(max(2, runs // 4)):
-        rb = []
-        for _ in range(2):
-            t = time.perf_counter()
-            sync(fwd(sess.params, sess.state, x))
-            rb.append(time.perf_counter() - t)
+
+def audit(spec, runs):
+    model, mode, batch = spec.split(":")
+    batch = int(batch)
+    forward, sess, x, n = build_forward(model, mode, batch)
+
+    compiled = jax.jit(forward).lower(sess.params, sess.state, x).compile()
+
+    row = {"model": model, "mode": mode, "batch": n}
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    ca = ca or {}
+    mem = compiled.memory_analysis()
+    row["gflop"] = ca.get("flops", 0.0) / 1e9
+    row["gbytes"] = ca.get("bytes accessed", 0.0) / 1e9
+    if mem is not None:
+        row["temp_mb"] = getattr(mem, "temp_size_in_bytes", 0) / 1e6
+        row["arg_mb"] = getattr(mem, "argument_size_in_bytes", 0) / 1e6
+
+    sync(compiled(sess.params, sess.state, x))
+    times = []
+    for _ in range(runs):
         t = time.perf_counter()
-        outs = [fwd(sess.params, sess.state, x) for _ in range(burst)]
-        sync(outs[-1])
-        rb.append((time.perf_counter() - t) / burst)
-        round_bests.append(min(rb))
-    best = min(round_bests)
+        sync(compiled(sess.params, sess.state, x))
+        times.append((time.perf_counter() - t) * 1e3)
+    burst = 6
+    t = time.perf_counter()
+    outs = [compiled(sess.params, sess.state, x) for _ in range(burst)]
+    sync(outs[-1])
+    times.append((time.perf_counter() - t) * 1e3 / burst)
+    ms = min(times)
+    row["ms"] = round(ms, 2)
+    row["img_s"] = round(n / (ms / 1e3))
 
-    flops = rep.get("flops", 0.0)
-    bytes_acc = rep.get("bytes_accessed", 0.0)
-    t_flops = flops / PEAK[precision]
-    t_bytes = bytes_acc / HBM_BW
-    floor = max(t_flops, t_bytes)
-    return {
-        "model": name,
-        "precision": precision,
-        "batch": batch,
-        "best_ms": round(best * 1e3, 2),
-        "img_s": round(batch / best, 0),
-        "gflops": round(flops / 1e9, 1),
-        "gbytes": round(bytes_acc / 1e9, 3),
-        "t_flops_ms": round(t_flops * 1e3, 2),
-        "t_bytes_ms": round(t_bytes * 1e3, 2),
-        "floor_ms": round(floor * 1e3, 2),
-        "pct_of_wall": round(100 * floor / best, 1),
-        "bound": "flops" if t_flops > t_bytes else "bytes",
-    }
+    # achieved rates and wall fractions. FLOP wall: int8 convs accumulate
+    # on the int8 MXU path but cost analysis counts HLO flops uniformly,
+    # so use the mode's MXU wall.
+    flop_wall = {"bf16": BF16_TFLOPS, "int8": INT8_TOPS,
+                 "fp32": FP32_TFLOPS}[mode]
+    row["tflops"] = round(row["gflop"] / ms, 1)  # GFLOP / ms == TFLOP/s
+    row["gbps"] = round(row["gbytes"] / ms * 1e3, 0)
+    row["pct_flop_wall"] = round(100 * row["tflops"] / flop_wall, 1)
+    row["pct_hbm_wall"] = round(100 * row["gbps"] / HBM_GBPS, 1)
+    # bytes floor: time the program needs just to move its bytes at the
+    # HBM wall; flops floor likewise. max() = speed-of-light for this
+    # program; ms/floor = headroom multiple.
+    floor_ms = max(
+        row["gbytes"] / HBM_GBPS * 1e3, row["gflop"] / flop_wall
+    )
+    row["floor_ms"] = round(floor_ms, 2)
+    row["x_floor"] = round(ms / floor_ms, 2)
+    return row
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--models",
-        default="mobilenet-v1,resnet18,yolov3,yolov3-tiny",
-    )
-    ap.add_argument("--precisions", default="bf16,int8")
+    ap.add_argument("specs", nargs="*", default=None)
     ap.add_argument("--runs", type=int, default=12)
-    ap.add_argument("--batch", type=int, default=0)  # 0 = per-model default
     args = ap.parse_args()
+    specs = args.specs or DEFAULT_CONFIGS
 
-    defaults = {
-        "yolov3-tiny": 256,
-        "yolov3": 32,
-        "mobilenet-v1": 256,
-        "resnet18": 256,
-    }
-    for name in args.models.split(","):
-        for prec in args.precisions.split(","):
-            batch = args.batch or defaults[name]
-            r = audit(name, batch, prec, args.runs)
-            print(json.dumps(r), flush=True)
+    rows = []
+    for spec in specs:
+        row = audit(spec, args.runs)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    print("\n| model | mode | batch | ms | img/s | GFLOP | GB | TFLOP/s "
+          "| GB/s | %FLOP wall | %HBM wall | floor ms | x floor |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['model']} | {r['mode']} | {r['batch']} | {r['ms']} "
+            f"| {r['img_s']} | {r['gflop']:.1f} | {r['gbytes']:.2f} "
+            f"| {r['tflops']} | {r['gbps']:.0f} | {r['pct_flop_wall']} "
+            f"| {r['pct_hbm_wall']} | {r['floor_ms']} | {r['x_floor']} |"
+        )
 
 
 if __name__ == "__main__":
