@@ -59,6 +59,7 @@ def build_forward(model, mode, batch):
         bf16=(mode != "fp32"), int8=(mode == "int8"),
     )
     net, sess = build(args)
+    build_forward.last_net = net
 
     from bcnn_tpu import Mode
     from bcnn_tpu.compile import execute
@@ -89,7 +90,84 @@ def sync(o):
     return float(np.asarray(jax.tree.leaves(o)[0]).ravel()[0])
 
 
-def audit(spec, runs):
+def padded_traffic_gb(net, mode):
+    """Lane-padding-adjusted HBM traffic estimate (upper bound).
+
+    XLA's nominal bytes_accessed counts logical element sizes, but TPU
+    vregs tile the last two dims of every stored tensor to (8 sublanes x
+    128 lanes): an NHWC activation stores C padded to 128 and W padded
+    to 8. Thin-channel maps (C=32 -> 4x, C=64 -> 2x) therefore move far
+    more HBM bytes than the nominal count — the dominant correction for
+    MobileNet/ResNet-class models. This walks the graph and counts, per
+    node with weights or spatial work: read(src, padded) +
+    write(dst, padded), activation dtype 4B (fp32 inter-layer storage;
+    the bf16 MXU cast fuses into the conv read), int8 1B where the
+    activation-flow plan applies. The true floor lies between the
+    nominal floor and this estimate (XLA sometimes picks transposed
+    layouts or fuses a producer entirely)."""
+    from bcnn_tpu.types import LayerType
+
+    act_b = 1 if mode == "int8" else 4
+    touched = {}  # tensor idx -> bytes (count each tensor once/store)
+
+    def tbytes(t, b):
+        c = ((t.c + 127) // 128) * 128
+        w = ((t.w + 7) // 8) * 8 if t.h > 1 or t.w > 1 else t.w
+        return t.n * t.h * w * c * b
+
+    compute = {
+        LayerType.CONV2D, LayerType.DEPTHWISE_CONV2D,
+        LayerType.TRANSPOSE_CONV2D, LayerType.FULL_CONNECTED,
+        LayerType.MAXPOOL, LayerType.AVGPOOL, LayerType.BATCHNORM,
+        LayerType.CONCAT, LayerType.ELTWISE, LayerType.UPSAMPLE,
+        LayerType.YOLOV3, LayerType.ACTIVATION, LayerType.LRN,
+    }
+    total = 0
+    for node in net.nodes:
+        if node.type not in compute:
+            continue
+        for i in list(node.src) + list(node.dst):
+            t = net.tensors[i]
+            if t.name == "label" or t.size() == 0:
+                continue
+            b = act_b if node.type != LayerType.YOLOV3 else 4
+            total += tbytes(t, b)
+    return total / 1e9
+
+
+def scan_device_ms(forward, sess, x, n):
+    """True per-step DEVICE time: run `n` forwards inside ONE dispatch via
+    lax.scan, so the axon tunnel's per-call floor (~6-13 ms measured; see
+    BENCHMARKS.md) is paid once for the whole chain. The carry perturbs a
+    single input element by the running checksum — a data dependence that
+    stops XLA hoisting the loop-invariant body out of the while-loop
+    (with an untouched x the whole forward is loop-invariant and the scan
+    would measure nothing). n kept <= 16: longer scans produce giant HLOs
+    that wedge the shared remote-compile queue (CLAUDE.md)."""
+    from jax import lax
+
+    def body(carry, _):
+        xc, acc = carry
+        outs = forward(sess.params, sess.state, xc)
+        s = sum(outs, jnp.float32(0.0))
+        xc = xc.at[0, 0, 0, 0].add(1e-12 * s)
+        return (xc, acc + s), None
+
+    def chain(x0):
+        (_, acc), _ = lax.scan(body, (x0, jnp.float32(0.0)), None, length=n)
+        return acc
+
+    compiled = jax.jit(chain).lower(x).compile()
+    sync(compiled(x))
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        sync(compiled(x))
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best / n
+
+
+def audit(spec, runs, scan=0):
     model, mode, batch = spec.split(":")
     batch = int(batch)
     forward, sess, x, n = build_forward(model, mode, batch)
@@ -97,6 +175,9 @@ def audit(spec, runs):
     compiled = jax.jit(forward).lower(sess.params, sess.state, x).compile()
 
     row = {"model": model, "mode": mode, "batch": n}
+    row["padded_gb"] = round(
+        padded_traffic_gb(build_forward.last_net, mode), 2
+    )
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0] if ca else {}
@@ -140,6 +221,12 @@ def audit(spec, runs):
     )
     row["floor_ms"] = round(floor_ms, 2)
     row["x_floor"] = round(ms / floor_ms, 2)
+    if scan:
+        dms = scan_device_ms(forward, sess, x, scan)
+        row["device_ms"] = round(dms, 2)
+        row["dispatch_ms"] = round(ms - dms, 2)
+        row["device_img_s"] = round(n / (dms / 1e3))
+        row["device_x_floor"] = round(dms / floor_ms, 2)
     return row
 
 
@@ -147,12 +234,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("specs", nargs="*", default=None)
     ap.add_argument("--runs", type=int, default=12)
+    ap.add_argument("--scan", type=int, default=0,
+                    help="also measure per-step device time via an "
+                         "N-long scan in one dispatch (N<=16)")
     args = ap.parse_args()
     specs = args.specs or DEFAULT_CONFIGS
 
     rows = []
     for spec in specs:
-        row = audit(spec, args.runs)
+        row = audit(spec, args.runs, scan=args.scan)
         print(json.dumps(row), flush=True)
         rows.append(row)
 
