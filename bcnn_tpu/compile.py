@@ -194,7 +194,13 @@ class _Executor:
     def p(self, idx: int) -> jax.Array:
         return self.params[self.key_of(idx)]
 
-    def run(self):
+    def run(self, lo: int = 0, hi: Optional[int] = None, taps_in=None):
+        # Optional node RANGE [lo, hi): used by the pipeline-parallel
+        # executor (parallel/pipeline.py) to run one stage of the graph.
+        # `taps_in` seeds gradient-routing taps created by earlier stages
+        # whose consumer lives in this range; self.taps afterwards holds
+        # every live tap (including ones for later stages to export).
+        #
         # reference-faithful gradient ROUTING for branched graphs (TRAIN):
         # the reference's per-layer backwards differ in how they write the
         # shared src grad buffer — conv dX ends in a zeroing col2im
@@ -219,8 +225,11 @@ class _Executor:
             and getattr(self.net, "ref_grad_routing", True)
             else {}
         )
-        taps: Dict[Tuple[int, int], jax.Array] = {}
-        for i, node in enumerate(self.net.nodes):
+        if hi is None:
+            hi = len(self.net.nodes)
+        taps: Dict[Tuple[int, int], jax.Array] = dict(taps_in or {})
+        for i in range(lo, hi):
+            node = self.net.nodes[i]
             rng = (
                 jax.random.fold_in(self.rng, i) if self.rng is not None else None
             )
@@ -241,6 +250,7 @@ class _Executor:
                     outs = _grad_split(flags, self.values[d])
                     for (pos, _), o in zip(rec, outs):
                         taps[(d, pos)] = o
+        self.taps = taps
         return self
 
     # ------------------------------------------------------------------ #

@@ -12,3 +12,4 @@ from .mesh import (
     tp_param_specs,
     replicate,
 )
+from .pipeline import Pipeline, split_stages  # noqa: F401
