@@ -354,6 +354,16 @@ class Session:
         batch = {"input": jnp.asarray(x, jnp.float32)}
         return self._forward_cache[key](self.params, self.state, batch)
 
+    def freeze_qat(self):
+        """Freeze a QAT-trained net (net.qat, ops/quant.py) into the
+        net.quant int8 dict: activation scales from the trained EMA
+        abs-max state, per-channel int8 weights from the final params.
+        PREDICT / detect / export then take the int8 path unchanged."""
+        from .ops.quant import qat_export
+
+        self.net.quant = qat_export(self.net, self.params, self.state)
+        return self.net.quant
+
     # -- checkpoint / resume (full state, beyond the reference's
     #    weights-only bcnn_save_weights) ---------------------------------- #
 

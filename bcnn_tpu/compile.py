@@ -60,6 +60,11 @@ def init_params(
                 params[t.key] = jnp.zeros(t.mem_shape, jnp.float32)
         elif t.kind == TensorKind.STATE:
             state[t.key] = jnp.zeros(t.mem_shape, jnp.float32)
+    if getattr(net, "qat", None):
+        from .ops.quant import qat_state_keys
+
+        for k in qat_state_keys(net):
+            state[k] = jnp.zeros((), jnp.float32)
     return params, state
 
 
@@ -187,6 +192,20 @@ class _Executor:
             from .ops.quant import plan_int8_flow
 
             self.int8_flow = plan_int8_flow(net, quant)
+        # QAT (net.qat = True or {"ema": 0.99}): TRAIN/VALID simulate the
+        # int8 program with fake-quant + STE (ops/quant.py); activation
+        # abs-max EMAs live in state ("qat_amax/<idx>"). PREDICT ignores
+        # qat — deploy via ops.quant.qat_export -> net.quant instead.
+        qat = getattr(net, "qat", None)
+        self.qat = qat if (qat and mode != Mode.PREDICT) else None
+        if self.qat:
+            from .ops.quant import watch_tensors
+
+            self.qat_ema = (
+                float(qat.get("ema", 0.99)) if isinstance(qat, dict) else 0.99
+            )
+            self.qat_watch = set(watch_tensors(net))
+            self._qat_seen: set = set()
 
     def key_of(self, idx: int) -> str:
         return self.net.tensors[idx].key
@@ -251,6 +270,13 @@ class _Executor:
                     for (pos, _), o in zip(rec, outs):
                         taps[(d, pos)] = o
         self.taps = taps
+        if self.qat and self.mode == Mode.TRAIN:
+            # observe watched tensors no conv consumed this pass (joiner
+            # inputs for the shared-scale int8 flow), matching what
+            # calibrate() sees — end-of-pass values, after in-place ops
+            for idx in sorted(self.qat_watch - self._qat_seen):
+                if idx in self.values:
+                    self._qat_observe(idx, self.values[idx])
         return self
 
     # ------------------------------------------------------------------ #
@@ -286,6 +312,43 @@ class _Executor:
             slopes = self.p(node.src[extra["slopes"]]).astype(dt)
         y = ops.apply_activation(y, act, slopes)
         return y
+
+    def _qat_observe(self, idx: int, x: jax.Array) -> jax.Array:
+        """Update (TRAIN) or read (VALID) the EMA abs-max for tensor idx;
+        returns the fake-quant scale. First observation seeds the EMA."""
+        k = f"qat_amax/{idx}"
+        obs = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(x.astype(jnp.float32)))
+        )
+        old = self.state.get(k, jnp.zeros((), jnp.float32))
+        if self.mode == Mode.TRAIN:
+            new = jnp.where(
+                old > 0, self.qat_ema * old + (1 - self.qat_ema) * obs, obs
+            )
+            self.state[k] = new
+            self._qat_seen.add(idx)
+        else:  # VALID: frozen ranges (fall back to the batch before any
+            new = jnp.where(old > 0, old, obs)  # training has happened)
+        return jnp.maximum(new, 1e-8) / 127.0
+
+    def _qat_on(self, node: Node) -> bool:
+        """net.qat truthy quantizes every conv/fc; {"per_layer": True}
+        honors the builder's per-layer `quantize` flag (the argument the
+        reference reserves on bcnn_add_convolutional_layer / fullc but
+        never implements)."""
+        if not self.qat:
+            return False
+        if isinstance(self.qat, dict) and self.qat.get("per_layer"):
+            return bool(node.param.get("quantize"))
+        return True
+
+    def _qat_xw(self, node: Node, x: jax.Array, w: jax.Array):
+        """Fake-quant a conv/fc data input (per-tensor, EMA-tracked) and
+        its weight (per-output-channel) for QAT."""
+        from .ops.quant import QAT_WEIGHT_AXES, fake_quant_ste, fake_quant_weight
+
+        x = fake_quant_ste(x, self._qat_observe(node.src[0], x))
+        return x, fake_quant_weight(w, QAT_WEIGHT_AXES[node.type])
 
     def _quant_entry(self, node: Node):
         """int8 PTQ lookup for this node (PREDICT only; see ops/quant.py).
@@ -340,6 +403,8 @@ class _Executor:
             )
         else:
             w = self.p(node.src[1])
+            if self._qat_on(node):
+                x, w = self._qat_xw(node, x, w)
             y = ops.conv2d(
                 x,
                 w,
@@ -368,6 +433,8 @@ class _Executor:
             )
         else:
             w = self.p(node.src[1])
+            if self._qat_on(node):
+                x, w = self._qat_xw(node, x, w)
             y = ops.depthwise_conv2d(
                 x, w, p["stride"], p["pad"], self.compute_dtype,
                 self.act_dtype,
@@ -398,6 +465,8 @@ class _Executor:
             )
         else:
             w = self.p(node.src[1])
+            if self._qat_on(node):
+                x, w = self._qat_xw(node, x, w)
             y = ops.conv2d_transpose(
                 x, w, p["stride"], p["pad"], self.compute_dtype
             )
@@ -420,9 +489,11 @@ class _Executor:
             y = fc_int8(self._quant_in(xf, sx), wq["q"], sx, wq["scale"])
             y = (y + self.p(node.src[2])).reshape(n, 1, 1, -1)
         else:
+            w = self.p(node.src[1])
+            if self._qat_on(node):
+                x, w = self._qat_xw(node, x, w)
             y = ops.full_connected(
-                x, self.p(node.src[1]), self.p(node.src[2]),
-                self.compute_dtype,
+                x, w, self.p(node.src[2]), self.compute_dtype,
             )
         y = ops.apply_activation(y, p["activation"])
         self.values[node.dst[0]] = self._maybe_emit_int8(node, y)

@@ -376,6 +376,9 @@ class Net:
             num_groups=num_groups,
             batch_norm=int(batch_norm),
             activation=Activation(activation),
+            # reserved-but-unimplemented in the reference (bcnn.h); real
+            # here: selects this layer under net.qat = {"per_layer": True}
+            quantize=int(quantize),
         )
         if batch_norm:
             self._add_param(
@@ -547,7 +550,9 @@ class Net:
         )
         self._add_dst(node, dst_id, s.n, output_size, 1, 1)
         node.param = dict(
-            output_size=output_size, activation=Activation(activation)
+            output_size=output_size,
+            activation=Activation(activation),
+            quantize=int(quantize),
         )
         self.add_node(node)
 

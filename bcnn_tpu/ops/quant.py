@@ -67,6 +67,26 @@ def quantize_weights(net, params) -> Dict[str, Dict]:
     return out
 
 
+def watch_tensors(net) -> List[int]:
+    """Tensor indices whose activation scale the int8 paths need: every
+    conv/dw/deconv/fc data input plus joiner (eltwise/concat) inputs for
+    the shared-scale int8 flow. Shared by PTQ calibration and QAT."""
+    watch = []
+    for node in net.nodes:
+        if node.type in (
+            LayerType.CONV2D,
+            LayerType.DEPTHWISE_CONV2D,
+            LayerType.TRANSPOSE_CONV2D,
+            LayerType.FULL_CONNECTED,
+        ):
+            watch.append(node.src[0])
+        elif node.type == LayerType.ELTWISE:
+            watch.extend(node.src[:2])
+        elif node.type == LayerType.CONCAT and len(node.src) > 1:
+            watch.extend(node.src)
+    return sorted(set(watch))
+
+
 def calibrate(
     net,
     params,
@@ -90,21 +110,7 @@ def calibrate(
     show no outlier pathology (BENCHMARKS.md)."""
     from ..compile import execute
 
-    watch = []
-    for node in net.nodes:
-        if node.type in (
-            LayerType.CONV2D,
-            LayerType.DEPTHWISE_CONV2D,
-            LayerType.TRANSPOSE_CONV2D,
-            LayerType.FULL_CONNECTED,
-        ):
-            watch.append(node.src[0])
-        elif node.type == LayerType.ELTWISE:
-            # joiner inputs need scales for the shared-scale int8 add
-            watch.extend(node.src[:2])
-        elif node.type == LayerType.CONCAT and len(node.src) > 1:
-            watch.extend(node.src)
-    watch = sorted(set(watch))
+    watch = watch_tensors(net)
 
     if method not in ("absmax", "percentile"):
         raise ValueError(f"unknown calibration method: {method!r}")
@@ -128,6 +134,76 @@ def calibrate(
 
 def quantize_tensor(x: jax.Array, scale: float) -> jax.Array:
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+# ------------------------------------------------------------------ #
+# Quantization-aware training (QAT)
+#
+# The reference reserves a `quantize` argument on its conv builder
+# (inc/bcnn/bcnn.h bcnn_add_convolutional_layer) but never implements
+# it; here it is real. QAT simulates the deployed int8 program inside
+# the fp32 training graph: conv/fc inputs and weights pass through a
+# quantize-dequantize ("fake quant") with a straight-through estimator,
+# so the optimizer sees — and adapts to — the exact rounding the int8
+# serving path will apply. Activation ranges are tracked as an EMA of
+# per-batch abs-max in `state` (keys "qat_amax/<tensor idx>", created by
+# init_params when net.qat is set, threaded through make_train_step
+# like BN running stats). qat_export() then freezes the trained net
+# into the same {"act_scales", "weights"} dict PTQ produces, so the
+# whole int8 serving stack (activation flow plan, AOT export) is reused
+# unchanged.
+# ------------------------------------------------------------------ #
+
+
+def fake_quant_ste(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric int8 quantize-dequantize with the clipped
+    straight-through estimator: forward value is the dequantized grid
+    point; gradient is identity inside the representable range
+    [-127*scale, 127*scale] and zero outside (saturated values carry no
+    useful gradient). `scale` broadcasts against x (per-tensor scalar or
+    per-channel keepdims array) and is treated as a constant."""
+    s = jax.lax.stop_gradient(scale)
+    q = jnp.clip(jnp.round(x / s), -127.0, 127.0) * s
+    inside = jnp.abs(x) <= 127.0 * s
+    return jnp.where(
+        inside, x + jax.lax.stop_gradient(q - x), jax.lax.stop_gradient(q)
+    )
+
+
+def fake_quant_weight(w: jax.Array, reduce_axes) -> jax.Array:
+    """Per-output-channel fake quant of a weight tensor; reduce_axes are
+    the non-output axes (conv/dw HWIO -> (0,1,2); deconv (0,1,3); fc
+    (0,)), matching quantize_weights' scale layout so the exported int8
+    weights land on the grid training optimized."""
+    amax = jnp.max(jnp.abs(w), axis=tuple(reduce_axes), keepdims=True)
+    scale = jnp.where(amax > 0, amax, 127.0) / 127.0
+    return fake_quant_ste(w, scale)
+
+
+QAT_WEIGHT_AXES = {
+    LayerType.CONV2D: (0, 1, 2),
+    LayerType.DEPTHWISE_CONV2D: (0, 1, 2),
+    LayerType.TRANSPOSE_CONV2D: (0, 1, 3),
+    LayerType.FULL_CONNECTED: (0,),
+}
+
+
+def qat_state_keys(net) -> List[str]:
+    return [f"qat_amax/{i}" for i in watch_tensors(net)]
+
+
+def qat_export(net, params, state) -> Dict:
+    """Freeze a QAT-trained (params, state) into the net.quant dict the
+    int8 PREDICT path consumes (same shape calibrate()+quantize_weights
+    produce). Activation scales come from the trained EMA abs-max."""
+    act_scales = {}
+    for i in watch_tensors(net):
+        m = float(np.asarray(state.get(f"qat_amax/{i}", 0.0)))
+        act_scales[i] = m / 127.0 if m > 0 else 1.0
+    return {
+        "act_scales": act_scales,
+        "weights": quantize_weights(net, params),
+    }
 
 
 def conv2d_int8(
