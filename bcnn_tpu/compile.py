@@ -771,6 +771,7 @@ def make_train_step(
     net: Net,
     remat: Optional[bool] = None,
     device_augment: Optional[dict] = None,
+    accum_steps: Optional[int] = None,
 ):
     """One bcnn_train_on_batch equivalent (bcnn_net.c:452-463):
     forward -> backward (autodiff) -> update -> loss, as a single jitted,
@@ -779,6 +780,17 @@ def make_train_step(
     remat (or net.remat): rematerialize the forward during the backward
     pass (jax.checkpoint) — trades FLOPs for HBM, for activations that
     don't fit (e.g. large-resolution detection training).
+
+    accum_steps (or net.accum_steps): gradient accumulation — run the
+    batch as N sequential microbatches inside this same jitted step
+    (lax.scan), summing gradients and metric sums, then ONE optimizer
+    update. Gradients and surrogates are batch SUMS in this framework
+    (matching the reference's accumulate-into-grad kernels), so the
+    accumulated step equals the full-batch step exactly for nets without
+    batch-coupled ops; training-mode BN sees per-MICROBATCH batch stats
+    (the standard accumulation semantics, same as parallel/pipeline.py).
+    Peak activation memory drops to one microbatch's working set — the
+    lever for batch sizes whose live set exceeds HBM.
 
     device_augment (or net.device_augment): an Augmenter-style config dict
     — the north-star "bip fuses into on-device preprocessing": the batch
@@ -791,6 +803,13 @@ def make_train_step(
         remat = bool(getattr(net, "remat", False))
     if device_augment is None:
         device_augment = getattr(net, "device_augment", None)
+    if accum_steps is None:
+        accum_steps = int(getattr(net, "accum_steps", 1) or 1)
+    if accum_steps > 1 and net.batch_size % accum_steps:
+        raise ValueError(
+            f"batch_size {net.batch_size} not divisible by "
+            f"accum_steps {accum_steps}"
+        )
 
     from .types import LayerType
 
@@ -831,6 +850,36 @@ def make_train_step(
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if accum_steps > 1:
+        n, mb = accum_steps, net.batch_size // accum_steps
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, state, opt_state, batch, rng):
+            xs = {
+                k: v.reshape(n, mb, *v.shape[1:]) for k, v in batch.items()
+            }
+            keys = jax.vmap(lambda m: jax.random.fold_in(rng, m))(
+                jnp.arange(n)
+            )
+            zero_g = jax.tree.map(jnp.zeros_like, params)
+
+            def body(carry, xs_m):
+                st, gsum, lsum = carry
+                micro, key = xs_m
+                (_, (st, loss)), g = grad_fn(params, st, micro, key)
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (st, gsum, lsum + loss), None
+
+            (new_state, grads, loss_sum), _ = jax.lax.scan(
+                body,
+                (state, zero_g, jnp.zeros((), jnp.float32)),
+                (xs, keys),
+            )
+            new_params, new_opt = apply_updates(net, params, grads, opt_state)
+            return new_params, new_state, new_opt, loss_sum
+
+        return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch, rng):

@@ -168,3 +168,92 @@ def test_ref_grad_routing_drops_skip_gradient():
     net = _residual_net(True)
     plan = build_grad_routing(net)
     assert plan, "conv+eltwise branch must be in the routing plan"
+
+
+def _bn_free_lenet(batch=16, size=12, classes=4):
+    """lenet() without BN: gradient accumulation must be EXACT here
+    (grads/metrics are batch sums; no batch-coupled op)."""
+    net = Net(Mode.TRAIN)
+    net.set_input_shape(size, size, 1, batch)
+    net.set_sgd_optimizer(learning_rate=0.05, momentum=0.9)
+    net.set_weight_regularizer(0.0005)
+    net.add_convolutional_layer(
+        8, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.RELU, 0, "input", "c1"
+    )
+    net.add_maxpool_layer(2, 2, Padding.SAME, "c1", "p1")
+    net.add_fullc_layer(32, FillerType.XAVIER, Activation.RELU, 0, "p1", "f1")
+    net.add_fullc_layer(
+        classes, FillerType.XAVIER, Activation.NONE, 0, "f1", "f2"
+    )
+    net.add_softmax_layer("f2", "s")
+    net.add_cost_layer(Loss.EUCLIDEAN, Metric.SSE, 1.0, "s")
+    return net
+
+
+def test_grad_accumulation_matches_full_batch():
+    """make_train_step(accum_steps=4): microbatched scan with summed
+    gradients and ONE optimizer update == the full-batch step, exactly
+    (batch-sum semantics), over a multi-step trajectory."""
+    from bcnn_tpu.compile import make_train_step
+
+    batch, size, classes = 16, 12, 4
+    rng = np.random.RandomState(7)
+    batches = [synthetic_batch(rng, batch, size, classes) for _ in range(3)]
+    key = jax.random.PRNGKey(5)
+
+    results = []
+    for accum in (1, 4):
+        net = _bn_free_lenet(batch, size, classes)
+        sess = Session(net, seed=0).compile_net()
+        step = make_train_step(net, accum_steps=accum)
+        p, st, o = sess.params, sess.state, sess.opt_state
+        losses = []
+        for x, y in batches:
+            p, st, o, loss = step(
+                p, st, o, {"input": x, "label": y}, key
+            )
+            losses.append(float(loss))
+        results.append((jax.tree.map(np.asarray, p), losses))
+
+    (p_full, l_full), (p_acc, l_acc) = results
+    np.testing.assert_allclose(l_full, l_acc, rtol=1e-5)
+    for k in p_full:
+        np.testing.assert_allclose(
+            p_full[k], p_acc[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
+def test_grad_accumulation_trains_with_bn():
+    """With BN the accumulated step uses per-microbatch batch stats (the
+    standard semantics, same as pipeline microbatching): not bit-equal to
+    full batch, but a valid training program that still fits the task."""
+    from bcnn_tpu.compile import make_train_step
+
+    batch, size, classes = 16, 12, 4
+    net = lenet(batch, size, classes)
+    net.accum_steps = 2  # via the net attribute this time
+    sess = Session(net, seed=0).compile_net()
+    step = make_train_step(net)
+    p, st, o = sess.params, sess.state, sess.opt_state
+    rng = np.random.RandomState(8)
+    err = None
+    for i in range(50):
+        x, y = synthetic_batch(rng, batch, size, classes)
+        p, st, o, loss = step(
+            p, st, o, {"input": x, "label": y}, jax.random.PRNGKey(i)
+        )
+        err = float(loss)
+        if err == 0.0:
+            break
+    assert err == 0.0, f"accumulated training failed to converge ({err})"
+
+
+def test_grad_accumulation_rejects_indivisible():
+    from bcnn_tpu.compile import make_train_step
+
+    net = _bn_free_lenet(16)
+    try:
+        make_train_step(net, accum_steps=3)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
