@@ -145,6 +145,104 @@ def test_two_process_checkpoint_resume_continues_trajectory(tmp_path):
     np.testing.assert_allclose(got, want[2:], rtol=1e-5, atol=1e-7)
 
 
+def test_elastic_resume_across_topology_change(tmp_path):
+    """ELASTIC recovery: checkpoints are host-gathered full state and the
+    DP loss/grad math is a batch SUM (bit-equal at any device count), so
+    a run can resume on a DIFFERENT topology than it crashed on.
+    Scale-DOWN: a 2-process cluster trains 2 steps, checkpoints, dies;
+    THIS process (no cluster) restores and continues — on its 8-device
+    mesh AND on one device — matching the uninterrupted trajectory.
+    Scale-UP: a single device trains 2 steps, checkpoints; a fresh
+    2-process cluster restores and continues steps 2-3 identically."""
+    import jax
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.parallel import (
+        make_dp_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from tests.multihost_worker import build_net, global_batch
+
+    batch = 16
+    net = build_net(batch)
+    sess = Session(net, 0).compile_net()
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    step = make_dp_train_step(net, mesh)
+    params = replicate(mesh, sess.params)
+    state = replicate(mesh, sess.state)
+    opt = replicate(mesh, sess.opt_state)
+    key = replicate(mesh, jax.random.PRNGKey(0))
+    want = []
+    for i in range(4):  # uninterrupted reference trajectory
+        x, y = global_batch(batch, i)
+        bt = shard_batch(mesh, {"input": x, "label": y})
+        params, state, opt, loss = step(params, state, opt, bt, key)
+        want.append(float(np.asarray(loss)))
+
+    # ---- scale-DOWN: 2-process cluster dies after checkpointing step 2
+    ckpt = str(tmp_path / "elastic.ckpt.npz")
+    _launch_cluster([str(tmp_path / "unused.txt"), "resume_a", ckpt])
+    p_np, s_np, o_np, extra = load_checkpoint(ckpt)
+    assert int(np.asarray(extra["next_step"])) == 2
+
+    # (a) resume on this process's 8-device mesh
+    p8 = replicate(mesh, p_np)
+    s8 = replicate(mesh, s_np)
+    o8 = replicate(mesh, o_np)
+    got8 = []
+    for i in range(2, 4):
+        x, y = global_batch(batch, i)
+        bt = shard_batch(mesh, {"input": x, "label": y})
+        p8, s8, o8, loss = step(p8, s8, o8, bt, key)
+        got8.append(float(np.asarray(loss)))
+    np.testing.assert_allclose(got8, want[2:], rtol=1e-5, atol=1e-7)
+
+    # (b) resume on ONE device (full scale-down). Reload from disk: the
+    # donated DP step above consumed p8/s8/o8, whose device-0 shards
+    # ALIAS the load_checkpoint arrays (device_put reuses a matching
+    # source buffer as a shard), so p_np/s_np/o_np are deleted now —
+    # exactly what a real restart does anyway.
+    p_np, s_np, o_np, _ = load_checkpoint(ckpt)
+    step1 = make_train_step(net)
+    p1 = {k: jax.numpy.asarray(v) for k, v in p_np.items()}
+    s1 = {k: jax.numpy.asarray(v) for k, v in s_np.items()}
+    o1 = jax.tree.map(jax.numpy.asarray, o_np)
+    got1 = []
+    for i in range(2, 4):
+        x, y = global_batch(batch, i)
+        p1, s1, o1, loss = step1(
+            p1, s1, o1, {"input": x, "label": y}, jax.random.PRNGKey(0)
+        )
+        got1.append(float(np.asarray(loss)))
+    np.testing.assert_allclose(got1, want[2:], rtol=1e-5, atol=1e-7)
+
+    # ---- scale-UP: single device trains steps 0-1, a fresh 2-process
+    # cluster restores the checkpoint and continues steps 2-3
+    sess2 = Session(net, 0).compile_net()
+    pu, su, ou = sess2.params, sess2.state, sess2.opt_state
+    for i in range(2):
+        x, y = global_batch(batch, i)
+        pu, su, ou, _ = step1(
+            pu, su, ou, {"input": x, "label": y}, jax.random.PRNGKey(0)
+        )
+    ckpt_up = str(tmp_path / "elastic_up.ckpt.npz")
+    save_checkpoint(
+        ckpt_up,
+        {k: np.asarray(v) for k, v in pu.items()},
+        {k: np.asarray(v) for k, v in su.items()},
+        jax.tree.map(np.asarray, ou),
+        extra={"next_step": 2},
+    )
+    outfile = str(tmp_path / "elastic_up_losses.txt")
+    _launch_cluster([outfile, "resume_b", ckpt_up])
+    got_up = [float(v) for v in open(outfile).read().split()]
+    np.testing.assert_allclose(got_up, want[2:], rtol=1e-5, atol=1e-7)
+
+
 def test_two_process_dp_training_matches_single_process(tmp_path):
     # reference trajectory on this process's 8-device CPU mesh
     import jax
