@@ -273,6 +273,91 @@ def shard_train_state(net: Net, mesh: Mesh, params, state, opt_state,
     return params, state, opt_state
 
 
+def zero_param_specs(
+    net: Net, mesh: Mesh, axis: str = BATCH_AXIS
+) -> Dict[str, P]:
+    """ZeRO-style partition specs: shard every parameter tensor along its
+    LARGEST dimension divisible by the mesh axis size (tensors with no
+    divisible dim stay replicated). Unlike tp_param_specs this is a pure
+    memory-partitioning layout — it does not need to follow the layer
+    math, because GSPMD re-gathers whatever each op requires. Used to
+    shard optimizer slots (ZeRO-1) and/or the parameters themselves
+    (FSDP) over the data-parallel axis."""
+    size = mesh.shape[axis]
+    specs: Dict[str, P] = {}
+    for t in net.tensors:
+        if t.kind != TensorKind.PARAM:
+            continue
+        best = None
+        for d, extent in enumerate(t.mem_shape):
+            if extent % size == 0 and extent >= size:
+                if best is None or extent > t.mem_shape[best]:
+                    best = d
+        if best is None:
+            specs[t.key] = P()
+        else:
+            spec = [None] * len(t.mem_shape)
+            spec[best] = axis
+            specs[t.key] = P(*spec)
+    return specs
+
+
+def make_zero1_train_step(net: Net, mesh: Mesh, axis: str = BATCH_AXIS):
+    """ZeRO stage 1: optimizer state sharded over the DATA-parallel axis,
+    parameters/batch-stats replicated, batch sharded. Each device holds
+    1/N of the Adam m/v (or momentum) slots and updates only its stripe;
+    GSPMD turns the grad all-reduce into reduce-scatter + all-gather
+    (same bytes on the wire, 1/N optimizer memory and update FLOPs per
+    device). Math identical to single-device (elementwise update over a
+    batch-sum gradient)."""
+    zspecs = zero_param_specs(net, mesh, axis)
+    o_sh = _opt_shardings(net, mesh, zspecs)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(axis))
+    return _make_sharded_train_step(
+        net, (repl, repl, o_sh, bsh, repl), (repl, repl, o_sh, repl)
+    )
+
+
+def make_fsdp_train_step(net: Net, mesh: Mesh, axis: str = BATCH_AXIS):
+    """Fully-sharded data parallelism (ZeRO-3): parameters AND optimizer
+    slots sharded over the data-parallel axis, batch sharded. GSPMD
+    all-gathers each weight at its use site (fwd and bwd) and
+    reduce-scatters the grads into the sharded update — per-device
+    parameter+optimizer memory is 1/N, enabling models bigger than one
+    chip's HBM at DP speeds. Batch stats stay replicated (they are
+    per-channel vectors, negligible)."""
+    zspecs = zero_param_specs(net, mesh, axis)
+    p_sh = {k: NamedSharding(mesh, s) for k, s in zspecs.items()}
+    o_sh = _opt_shardings(net, mesh, zspecs)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(axis))
+    return _make_sharded_train_step(
+        net, (p_sh, repl, o_sh, bsh, repl), (p_sh, repl, o_sh, repl)
+    )
+
+
+def shard_zero_state(net: Net, mesh: Mesh, params, state, opt_state,
+                     axis: str = BATCH_AXIS, params_too: bool = False,
+                     put=None):
+    """Place (params, state, opt_state) with ZeRO shardings: opt slots
+    sharded over the DP axis; params sharded too when params_too (FSDP)
+    else replicated. Same put hook as shard_train_state for
+    multi-process assembly."""
+    if put is None:
+        put = jax.device_put
+    zspecs = zero_param_specs(net, mesh, axis)
+    repl = NamedSharding(mesh, P())
+    params = {
+        k: put(v, NamedSharding(mesh, zspecs[k]) if params_too else repl)
+        for k, v in params.items()
+    }
+    state = {k: put(v, repl) for k, v in state.items()}
+    osh = _opt_shardings(net, mesh, zspecs)
+    opt_state = jax.tree.map(put, opt_state, osh)
+    return params, state, opt_state
+
+
 def make_dp_tp_train_step(net: Net, mesh: Mesh,
                           model_axis: str = MODEL_AXIS):
     """Training step composing batch data-parallelism with tensor

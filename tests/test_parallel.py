@@ -344,3 +344,130 @@ def test_multihost_global_mesh_single_process():
     mesh = multihost.global_mesh()
     assert mesh.devices.size == jax.device_count()
     assert mesh.axis_names == ("batch",)
+
+
+def test_zero1_train_step_matches_single_device(mesh8):
+    """ZeRO-1: optimizer slots sharded over the DP axis must reproduce
+    the single-device step exactly (elementwise update over the same
+    batch-sum gradient) while each device holds only 1/8 of the slots."""
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.parallel import (
+        make_zero1_train_step,
+        shard_zero_state,
+        zero_param_specs,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    batch = 16
+    rng = np.random.RandomState(21)
+    x, y = _batch(rng, batch)
+    rngkey = jax.random.PRNGKey(5)
+
+    net1 = lenet_mnist(batch)
+    s1 = Session(net1, seed=0).compile_net()
+    step1 = make_train_step(net1)
+    p1, st1, o1, loss1 = step1(
+        s1.params, s1.state, s1.opt_state, {"input": x, "label": y}, rngkey
+    )
+
+    net = lenet_mnist(batch)
+    s = Session(net, seed=0).compile_net()
+    zspecs = zero_param_specs(net, mesh8)
+    assert any(spec != P() for spec in zspecs.values()), zspecs
+    step = make_zero1_train_step(net, mesh8)
+    p, st, o = shard_zero_state(net, mesh8, s.params, s.state, s.opt_state)
+    bt = shard_batch(mesh8, {"input": x, "label": y})
+    k = replicate(mesh8, rngkey)
+    p, st, o, loss = step(p, st, o, bt, k)
+
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-4)
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    # a momentum slot is actually sharded 8-ways
+    slots = o["velocity"] or o["adam_m"]
+    key = max(slots, key=lambda k2: slots[k2].size)
+    shard_shapes = {s2.data.shape for s2 in slots[key].addressable_shards}
+    assert len(shard_shapes) == 1
+    assert 8 * np.prod(list(shard_shapes)[0]) == slots[key].size
+
+
+def test_fsdp_train_step_matches_single_device(mesh8):
+    """FSDP (ZeRO-3): params AND optimizer slots sharded over the DP
+    axis; GSPMD all-gathers weights at use and reduce-scatters grads —
+    same math as single-device, 1/8 param+opt memory per device."""
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.parallel import make_fsdp_train_step, shard_zero_state
+
+    batch = 16
+    rng = np.random.RandomState(22)
+    x, y = _batch(rng, batch)
+    rngkey = jax.random.PRNGKey(6)
+
+    net1 = lenet_mnist(batch)
+    s1 = Session(net1, seed=0).compile_net()
+    step1 = make_train_step(net1)
+    p1, st1, o1, loss1 = step1(
+        s1.params, s1.state, s1.opt_state, {"input": x, "label": y}, rngkey
+    )
+
+    net = lenet_mnist(batch)
+    s = Session(net, seed=0).compile_net()
+    step = make_fsdp_train_step(net, mesh8)
+    p, st, o = shard_zero_state(
+        net, mesh8, s.params, s.state, s.opt_state, params_too=True
+    )
+    bt = shard_batch(mesh8, {"input": x, "label": y})
+    k = replicate(mesh8, rngkey)
+    p, st, o, loss = step(p, st, o, bt, k)
+
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-4)
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p[key]),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    # the largest weight is held 1/8 per device
+    key = max(p1, key=lambda k2: p1[k2].size)
+    shard_shapes = {s2.data.shape for s2 in p[key].addressable_shards}
+    assert len(shard_shapes) == 1
+    assert 8 * np.prod(list(shard_shapes)[0]) == p1[key].size
+
+
+def test_fsdp_second_step_converges(mesh8):
+    """Two FSDP steps keep matching single-device (the re-sharded outputs
+    feed back in cleanly, incl. Adam's seen counter)."""
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.parallel import make_fsdp_train_step, shard_zero_state
+    from bcnn_tpu.types import Optimizer
+
+    batch = 16
+    rng = np.random.RandomState(23)
+    rngkey = jax.random.PRNGKey(9)
+
+    net1 = lenet_mnist(batch)
+    net1.learner.optimizer = Optimizer.ADAM
+    s1 = Session(net1, seed=0).compile_net()
+    step1 = make_train_step(net1)
+    p1, st1, o1 = s1.params, s1.state, s1.opt_state
+
+    net = lenet_mnist(batch)
+    net.learner.optimizer = Optimizer.ADAM
+    s = Session(net, seed=0).compile_net()
+    step = make_fsdp_train_step(net, mesh8)
+    p, st, o = shard_zero_state(
+        net, mesh8, s.params, s.state, s.opt_state, params_too=True
+    )
+    k = replicate(mesh8, rngkey)
+    for i in range(2):
+        x, y = _batch(rng, batch)
+        p1, st1, o1, loss1 = step1(
+            p1, st1, o1, {"input": x, "label": y}, rngkey
+        )
+        bt = shard_batch(mesh8, {"input": x, "label": y})
+        p, st, o, loss = step(p, st, o, bt, k)
+        np.testing.assert_allclose(
+            float(loss1), float(loss), rtol=1e-4, err_msg=f"step {i}"
+        )
