@@ -83,6 +83,70 @@ def run_loader_phase(proc_id, outfile, img_path, lbl_path):
             fp.write(" ".join(f"{v:.8e}" for v in losses))
 
 
+def run_fsdp_phase(proc_id, outfile):
+    """FSDP (ZeRO-3) across the process boundary: parameters and optimizer
+    slots are sharded over the global batch axis, so half of every weight
+    lives in EACH process — the per-use all-gather and the grad
+    reduce-scatter both cross the DCN stand-in. Loss trajectory must match
+    the single-process DP reference (same math, sharded memory)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcnn_tpu import Session
+    from bcnn_tpu.parallel import (
+        make_fsdp_train_step,
+        multihost,
+        shard_zero_state,
+        zero_param_specs,
+    )
+
+    batch = 16
+    net = build_net(batch)
+    sess = Session(net, 0).compile_net()
+    mesh = multihost.global_mesh()
+    step = make_fsdp_train_step(net, mesh)
+    # every process has the full seed-0 value; make_array_from_callback
+    # hands each device exactly its shard of it
+    put = lambda v, sh: jax.make_array_from_callback(  # noqa: E731
+        np.asarray(v).shape, sh, lambda idx, _v=np.asarray(v): _v[idx]
+    )
+    params, state, opt = shard_zero_state(
+        net, mesh, sess.params, sess.state, sess.opt_state,
+        params_too=True, put=put,
+    )
+    # prove the model is really split across the processes: this process's
+    # addressable shards of the largest weight hold only half its elements
+    zspecs = zero_param_specs(net, mesh)
+    key_w = max(
+        (k for k, s in zspecs.items() if s != P()),
+        key=lambda k: sess.params[k].size,
+    )
+    local_elems = sum(
+        int(np.prod(s.data.shape))
+        for s in params[key_w].addressable_shards
+    )
+    assert local_elems * jax.process_count() == sess.params[key_w].size, (
+        local_elems, sess.params[key_w].size
+    )
+
+    rng_key = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), np.asarray(jax.random.PRNGKey(0))
+    )
+    losses = []
+    for i in range(3):
+        x, y = global_batch(batch, i)
+        start, size = multihost.process_batch_slice(batch)
+        bt = multihost.host_local_batch(
+            mesh, x[start:start + size], y[start:start + size]
+        )
+        params, state, opt, loss = step(params, state, opt, bt, rng_key)
+        losses.append(float(np.asarray(loss)))
+    if proc_id == 0:
+        with open(outfile, "w") as fp:
+            fp.write(" ".join(f"{v:.8e}" for v in losses))
+
+
 def run_resume_phase(phase, proc_id, outfile, ckpt_path):
     """Fault-recovery across the cluster boundary: phase A trains 2 steps
     and checkpoints (then the cluster dies); phase B is a FRESH cluster
@@ -177,6 +241,10 @@ def main():
 
     if phase == "loader":
         run_loader_phase(proc_id, outfile, sys.argv[6], sys.argv[7])
+        jax.distributed.shutdown()
+        return
+    if phase == "fsdp":
+        run_fsdp_phase(proc_id, outfile)
         jax.distributed.shutdown()
         return
     if phase in ("resume_a", "resume_b"):
