@@ -181,6 +181,20 @@ class _Executor:
         self.act_dtype = (
             getattr(net, "act_dtype", None) if mode == Mode.PREDICT else None
         )
+        # opt-in (net.train_act_dtype): store inter-layer activations in a
+        # reduced dtype during TRAINING. Unlike act_dtype (inference), this
+        # targets the BACKWARD's bytes: JAX cotangents carry the primal's
+        # dtype, so a bf16 layer boundary halves the grad-chain HBM traffic
+        # AND dedups the conv VJP residual (the x16 the mixed VJP saves IS
+        # the stored activation — today the fp32 y and its bf16 copy are
+        # both written). Epilogue math (bias/BN/act) stays fp32; only the
+        # stored boundary tensor is cast. Numerics gated by
+        # tests/test_mixed_precision.py.
+        self.train_act_dtype = (
+            getattr(net, "train_act_dtype", None)
+            if mode == Mode.TRAIN
+            else None
+        )
         # int8 activation flow: tensors whose HBM dtype can be int8 end to
         # end (bit-identical results — see ops/quant.py plan_int8_flow).
         # Producers requantize in their fused epilogue; pass-through ops
@@ -389,6 +403,13 @@ class _Executor:
 
         return quantize_tensor(y, s)
 
+    def _cast_act(self, y):
+        """train_act_dtype boundary cast (fuses into the producer's
+        epilogue; identity unless the knob is set and y is fp32)."""
+        if self.train_act_dtype is not None and y.dtype == jnp.float32:
+            return y.astype(self.train_act_dtype)
+        return y
+
     def _conv2d(self, node: Node, rng):
         p = node.param
         x = self.values[node.src[0]]
@@ -417,7 +438,9 @@ class _Executor:
         extra = {"mean": 3, "var": 4, "scales": 5}
         extra["slopes"] = 6 if p.get("batch_norm") else 3
         y = self._apply_conv_epilogue(node, y, rng, node.src[2], extra)
-        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
+        self.values[node.dst[0]] = self._cast_act(
+            self._maybe_emit_int8(node, y)
+        )
 
     def _depthwise_conv2d(self, node: Node, rng):
         p = node.param
@@ -443,7 +466,9 @@ class _Executor:
         # reference wires no BN tensors for it)
         y = y + self.p(node.src[2]).astype(y.dtype)
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
+        self.values[node.dst[0]] = self._cast_act(
+            self._maybe_emit_int8(node, y)
+        )
 
     def _transpose_conv2d(self, node: Node, rng):
         p = node.param
@@ -472,7 +497,9 @@ class _Executor:
             )
         y = y + self.p(node.src[2])
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
+        self.values[node.dst[0]] = self._cast_act(
+            self._maybe_emit_int8(node, y)
+        )
 
     def _full_connected(self, node: Node, rng):
         p = node.param
@@ -511,6 +538,10 @@ class _Executor:
 
     def _batchnorm(self, node: Node, rng):
         x = self.values[node.src[0]]
+        if self.train_act_dtype is not None:
+            # keep the exact-quirk BN stats/backward in fp32; the boundary
+            # cast below restores the reduced storage dtype
+            x = x.astype(jnp.float32)
         mean_k = self.key_of(node.src[1])
         var_k = self.key_of(node.src[2])
         training = self.mode == Mode.TRAIN
@@ -526,7 +557,7 @@ class _Executor:
         if training:
             self.state[mean_k] = nm
             self.state[var_k] = nv
-        self.values[node.dst[0]] = y
+        self.values[node.dst[0]] = self._cast_act(y)
 
     def _lrn(self, node: Node, rng):
         p = node.param

@@ -167,6 +167,9 @@ def bench_train(batch: int, runs: int):
 
     net = yolov3_tiny(batch_size=batch, mode=Mode.TRAIN)
     net.compute_dtype = jnp.bfloat16
+    act = os.environ.get("BENCH_ACT", "")  # e.g. BENCH_ACT=bf16
+    if act == "bf16":
+        net.train_act_dtype = jnp.bfloat16
     sess = Session(net, seed=0).compile_net()
     step = make_train_step(net)
 
@@ -217,7 +220,8 @@ def bench_train(batch: int, runs: int):
     print(
         json.dumps(
             {
-                "metric": "yolov3_tiny_416_train_bf16",
+                "metric": "yolov3_tiny_416_train_bf16"
+                + ("_act16" if act == "bf16" else ""),
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / TARGET_IMG_S, 3),

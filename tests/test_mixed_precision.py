@@ -175,6 +175,95 @@ def test_bf16_with_remat():
     assert np.isfinite(float(loss))
 
 
+def test_act16_grads_close_to_fp32():
+    """net.train_act_dtype = bf16: inter-layer activations (and therefore
+    the backward's cotangent chain) are stored bf16. Direction/scale of
+    the grads must survive; thresholds slightly looser than the
+    compute_dtype-only test because the activation storage itself is
+    quantized here."""
+    net = zoo_net()
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 3, 16, 16).astype(np.float32)
+    y = np.zeros((4, 4, 1, 1), np.float32)
+    y[np.arange(4), rng.randint(0, 4, 4)] = 1.0
+    batch = {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+    key = jax.random.PRNGKey(0)
+
+    g32 = _grads(net, sess.params, sess.state, batch, key)
+    net.compute_dtype = jnp.bfloat16
+    net.train_act_dtype = jnp.bfloat16
+    g16 = _grads(net, sess.params, sess.state, batch, key)
+
+    for k in g32:
+        a = np.asarray(g32[k]).ravel()
+        b = np.asarray(g16[k]).ravel()
+        assert b.dtype == np.float32, f"{k}: grad dtype {b.dtype}"
+        if np.linalg.norm(a) == 0 and np.linalg.norm(b) == 0:
+            continue
+        cos = float(
+            np.dot(a, b)
+            / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        )
+        assert cos > 0.98, f"{k}: grad cosine {cos}"
+        rms = float(np.sqrt((a**2).mean()))
+        assert float(np.abs(a - b).max()) < 0.7 * rms + 1e-4, (
+            f"{k}: maxabsdiff {np.abs(a - b).max()} vs rms {rms}"
+        )
+
+
+def test_act16_training_converges_like_fp32():
+    batch, size, classes = 16, 12, 4
+
+    def run(act16):
+        net = lenet(batch, size, classes)
+        if act16:
+            net.compute_dtype = jnp.bfloat16
+            net.train_act_dtype = jnp.bfloat16
+        sess = Session(net, seed=0).compile_net()
+        r = np.random.RandomState(7)
+        errs = []
+        for _ in range(40):
+            x, y = synthetic_batch(r, batch, size, classes)
+            errs.append(float(sess.train_on_batch(x, y)))
+        for v in sess.params.values():
+            assert v.dtype == jnp.float32
+        return errs
+
+    e32, e16 = run(False), run(True)
+    assert e16[-1] <= 1.0, f"act16 did not converge: {e16[-5:]}"
+    assert abs(e16[-1] - e32[-1]) <= 1.0
+
+
+def test_act16_standalone_bn_stats_stay_fp32():
+    """Standalone [bn] consuming a bf16 boundary: the executor upcasts so
+    the exact-quirk BN backward and running stats run in fp32."""
+    net = Net(Mode.TRAIN)
+    net.set_input_shape(8, 8, 3, 4)
+    net.set_sgd_optimizer(learning_rate=0.01, momentum=0.9)
+    net.add_convolutional_layer(
+        8, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.NONE, 0,
+        "input", "c1",
+    )
+    net.add_batchnorm_layer("c1", "b1")
+    net.add_fullc_layer(4, FillerType.XAVIER, Activation.NONE, 0, "b1", "f")
+    net.add_cost_layer(Loss.EUCLIDEAN, Metric.SSE, 1.0, "f")
+    net.compute_dtype = jnp.bfloat16
+    net.train_act_dtype = jnp.bfloat16
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 3, 8, 8).astype(np.float32))
+    y = jnp.asarray(rng.randn(4, 4, 1, 1).astype(np.float32))
+    step = make_train_step(net)
+    params, state, opt, loss = step(
+        sess.params, sess.state, sess.opt_state,
+        {"input": x, "label": y}, jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))
+    for k, v in state.items():
+        assert v.dtype == jnp.float32, f"{k}: state dtype {v.dtype}"
+
+
 def test_bf16_train_scan():
     """lax.scan over steps with the custom conv VJPs inside."""
     from bcnn_tpu.compile import make_train_scan
