@@ -167,7 +167,9 @@ def bench_train(batch: int, runs: int):
 
     net = yolov3_tiny(batch_size=batch, mode=Mode.TRAIN)
     net.compute_dtype = jnp.bfloat16
-    act = os.environ.get("BENCH_ACT", "")  # e.g. BENCH_ACT=bf16
+    # bf16 activation storage measured 19% faster at batch 256 (112.5 vs
+    # 139.1 ms same-session, BENCHMARKS.md); BENCH_ACT=fp32 opts out
+    act = os.environ.get("BENCH_ACT", "bf16")
     if act == "bf16":
         net.train_act_dtype = jnp.bfloat16
     sess = Session(net, seed=0).compile_net()
