@@ -77,6 +77,52 @@ def test_dp_train_step_matches_single_device(mesh8):
         )
 
 
+def test_dp_train_step_act16_matches_single_device(mesh8):
+    """train_act_dtype (bf16 activation storage) composes with DP: the
+    parallel executor goes through the same compile.execute, so the DP
+    step with act16 must equal the single-device act16 step."""
+    import jax.numpy as jnp
+
+    batch = 16
+    rng = np.random.RandomState(3)
+    x, y = _batch(rng, batch)
+    rngkey = jax.random.PRNGKey(7)
+    from bcnn_tpu.compile import make_train_step
+
+    net1 = lenet_mnist(batch)
+    net1.compute_dtype = jnp.bfloat16
+    net1.train_act_dtype = jnp.bfloat16
+    s1 = Session(net1, seed=0).compile_net()
+    step1 = make_train_step(net1)
+    p1, st1, o1, loss1 = step1(
+        s1.params, s1.state, s1.opt_state, {"input": x, "label": y}, rngkey
+    )
+
+    net8 = lenet_mnist(batch)
+    net8.compute_dtype = jnp.bfloat16
+    net8.train_act_dtype = jnp.bfloat16
+    s8 = Session(net8, seed=0).compile_net()
+    step8 = make_dp_train_step(net8, mesh8)
+    p8, st8, o8, loss8 = step8(
+        replicate(mesh8, s8.params), replicate(mesh8, s8.state),
+        replicate(mesh8, s8.opt_state),
+        shard_batch(mesh8, {"input": x, "label": y}),
+        replicate(mesh8, rngkey),
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+    # act16 grads carry bf16-level fidelity and GSPMD may fuse the
+    # boundary casts differently than the single-device program, so
+    # parity here is at grad precision, not the fp32 test's exactness
+    # (a wiring bug — wrong batch scaling, missed psum — would still
+    # blow these bounds by orders of magnitude)
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p8[key]),
+            rtol=5e-3, atol=5e-5, err_msg=key,
+        )
+
+
 def test_dp_forward_matches_single_device(mesh8):
     """Batch-sharded inference equals single-device inference."""
     from bcnn_tpu import Mode
