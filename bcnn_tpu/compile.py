@@ -174,10 +174,14 @@ class _Executor:
         # leave compute_dtype unset (fp32 everywhere).
         self.compute_dtype = getattr(net, "compute_dtype", None)
         # opt-in (net.act_dtype): keep activations in a reduced dtype
-        # between layers. Measured on v5e/axon this *hurts* yolov3-tiny
-        # (bf16 relayout costs exceed the HBM savings: 198ms vs 37ms for
-        # batch 256), so the default keeps fp32 activations with bf16 MXU
-        # inputs; revisit per-model.
+        # between layers in PREDICT. A round-1 measurement pinned this as
+        # a 5x slowdown; round 3 re-validated on the current program and
+        # it is a 29-41% WIN (26.0 vs 33.7 ms batch 256, 48.1 vs 67.8 ms
+        # batch 512 — BENCHMARKS.md): the forward writes+reads every
+        # boundary tensor once, and with compute_dtype=bf16 the consumer
+        # conv rounds its input to bf16 either way, so the cast costs one
+        # rounding it already paid. Stays opt-in: the fp32 default is the
+        # reference-parity path (1e-4 detections).
         self.act_dtype = (
             getattr(net, "act_dtype", None) if mode == Mode.PREDICT else None
         )
@@ -404,10 +408,14 @@ class _Executor:
         return quantize_tensor(y, s)
 
     def _cast_act(self, y):
-        """train_act_dtype boundary cast (fuses into the producer's
-        epilogue; identity unless the knob is set and y is fp32)."""
-        if self.train_act_dtype is not None and y.dtype == jnp.float32:
-            return y.astype(self.train_act_dtype)
+        """Boundary cast to the reduced activation dtype (fuses into the
+        producer's epilogue; identity unless a knob is set and y is
+        fp32). Covers TRAIN (train_act_dtype) and the PREDICT tensors the
+        conv out_dtype plumbing misses (quantized convs' fp32 outputs,
+        deconv)."""
+        ad = self.train_act_dtype or self.act_dtype
+        if ad is not None and y.dtype == jnp.float32:
+            return y.astype(ad)
         return y
 
     def _conv2d(self, node: Node, rng):

@@ -45,6 +45,11 @@ def main():
     net = yolov3_tiny(batch_size=batch, width=size, height=size,
                       mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16  # MXU-native compute, fp32 accumulate
+    # bf16 boundary storage: +29-41% measured round 3 (BENCHMARKS.md) —
+    # the consumer conv rounds its input to bf16 regardless, so this
+    # only halves the HBM bytes. BENCH_PRED_ACT=fp32 opts out.
+    if os.environ.get("BENCH_PRED_ACT", "bf16") == "bf16":
+        net.act_dtype = jnp.bfloat16
     sess = Session(net, seed=0).compile_net()
     if mode in ("int8", "detect_int8"):
         from bcnn_tpu.ops.quant import calibrate, quantize_weights
