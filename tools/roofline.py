@@ -56,9 +56,11 @@ def build_forward(model, mode, batch):
 
     args = pytypes.SimpleNamespace(
         config=None, weights=None, model=model, batch=batch,
-        bf16=(mode != "fp32"), int8=(mode == "int8"),
+        bf16=(mode != "fp32"), int8=mode.startswith("int8"),
     )
     net, sess = build(args)
+    if mode.endswith("a"):  # bf16a/int8a: bf16 boundary storage on top
+        net.act_dtype = jnp.bfloat16
     build_forward.last_net = net
 
     from bcnn_tpu import Mode
@@ -107,7 +109,8 @@ def padded_traffic_gb(net, mode):
     layouts or fuses a producer entirely)."""
     from bcnn_tpu.types import LayerType
 
-    act_b = 1 if mode == "int8" else 4
+    act_b = (1 if mode.startswith("int8")
+             else 2 if mode.endswith("a") else 4)
     touched = {}  # tensor idx -> bytes (count each tensor once/store)
 
     def tbytes(t, b):
@@ -208,7 +211,8 @@ def audit(spec, runs, scan=0):
     # on the int8 MXU path but cost analysis counts HLO flops uniformly,
     # so use the mode's MXU wall.
     flop_wall = {"bf16": BF16_TFLOPS, "int8": INT8_TOPS,
-                 "fp32": FP32_TFLOPS}[mode]
+                 "fp32": FP32_TFLOPS, "bf16a": BF16_TFLOPS,
+                 "int8a": INT8_TOPS}[mode]
     row["tflops"] = round(row["gflop"] / ms, 1)  # GFLOP / ms == TFLOP/s
     row["gbps"] = round(row["gbytes"] / ms * 1e3, 0)
     row["pct_flop_wall"] = round(100 * row["tflops"] / flop_wall, 1)
