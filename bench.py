@@ -35,8 +35,12 @@ def main():
 
     mode = os.environ.get("BENCH_MODE", "forward")
     # forward|detect|int8|train
+    # batch 512 is the measured per-chip sweet spot for the act16 forward
+    # (10,649 vs 9,921 img/s at 256 — the bf16 boundary storage halves the
+    # live set, so 512 now amortizes the dispatch floor instead of
+    # thrashing HBM; BENCHMARKS.md). The target is img/s/chip, batch-free.
     batch = int(
-        os.environ.get("BENCH_BATCH", "64" if mode == "train" else "256")
+        os.environ.get("BENCH_BATCH", "64" if mode == "train" else "512")
     )
     runs = int(os.environ.get("BENCH_RUNS", "20"))
     if mode == "train":
