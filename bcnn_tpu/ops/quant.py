@@ -358,30 +358,57 @@ def plan_int8_flow(net, quant) -> Dict[int, float]:
             cons = consumers.get(d, [])
             if not cons:
                 continue  # graph output: keep fp32 for the host
-            fixed, flex, ok = [], [], True
+            fixed_p, fixed_j, flex, ok = [], [], [], True
             for c in cons:
                 s = quant_consumer_scale(c, d)
                 if s is not None:
                     flex.append(s)
                     continue
                 if is_joiner(c) and id(c) in enabled:
-                    fixed.append(joiner_scale[id(c)])
+                    fixed_j.append(joiner_scale[id(c)])
                     continue
                 passthrough = allow_pass and (
                     c.type in (L.MAXPOOL, L.UPSAMPLE, L.DROPOUT)
                     or (c.type == L.CONCAT and len(c.src) == 1)
                 )
                 if passthrough and c.dst and c.dst[0] in viable:
-                    fixed.append(viable[c.dst[0]])
+                    fixed_p.append(viable[c.dst[0]])
                     continue
                 ok = False
                 break
             if not ok:
                 continue
-            if fixed:
-                if all(f == fixed[0] for f in fixed):
-                    viable[d] = fixed[0]
-            elif flex and all(f == flex[0] for f in flex):
+            # Resolve the demands. A direct quantized consumer wants the
+            # CALIBRATED scale (every flex entry is act_scales[d]); a
+            # passthrough chain wants exactly its downstream plan scale
+            # (int8 codes pass through the chain unchanged, so any other
+            # store scale would be dequantized wrong later); a joiner
+            # wants its shared scale. All same-kind demands must agree,
+            # and a chain scale must equal the calibrated scale when a
+            # direct consumer exists — silently adopting a chain scale
+            # below the calibrated one (as the pre-fix resolver did)
+            # clips the direct consumer's input and breaks the
+            # bit-identity contract. A joiner's shared scale MAY be
+            # coarser than the calibrated scale (it is a max over input
+            # scales including this tensor's, so it never clips); that
+            # coarsening is what the value-tolerant, accuracy-gated
+            # flow_joiners mode signs up for.
+            if fixed_p and any(f != fixed_p[0] for f in fixed_p):
+                continue
+            if fixed_j and any(f != fixed_j[0] for f in fixed_j):
+                continue
+            if fixed_p and flex and fixed_p[0] != flex[0]:
+                continue
+            if fixed_j:
+                sj = fixed_j[0]
+                if fixed_p and fixed_p[0] != sj:
+                    continue
+                if flex and sj < flex[0]:
+                    continue  # defensive: below-range shared scale clips
+                viable[d] = sj
+            elif fixed_p:
+                viable[d] = fixed_p[0]
+            elif flex:
                 viable[d] = flex[0]
         stale = {
             j

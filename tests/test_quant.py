@@ -208,3 +208,70 @@ def test_int8_flow_joiners_cover_residual_trunk():
     )
     n_int8 = sum(1 for v in ex.values.values() if v.dtype == jnp.int8)
     assert n_int8 >= len(plan_on) - 2, (n_int8, len(plan_on))
+
+
+def test_int8_flow_fanout_chain_scale_cannot_clip_direct_consumer():
+    """Regression (round-3 review): a tensor feeding BOTH a quantized conv
+    directly and a maxpool->conv chain must not be stored at the chain's
+    downstream scale when that differs from its own calibrated scale —
+    the pre-fix resolver silently adopted the chain scale, clipping the
+    direct consumer's input (values beyond 127*s_chain saturate) and
+    breaking the bit-identity contract of the exact-commute flow subset.
+    The planner must leave such a tensor fp32 (each consumer quantizes
+    for itself, which IS the bit-exact behavior)."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu import Activation, FillerType, Mode, Net, Padding
+    from bcnn_tpu.ops.quant import plan_int8_flow
+
+    net = Net(Mode.PREDICT)
+    net.set_input_shape(8, 8, 1, 2)
+    net.add_convolutional_layer(4, 3, 1, 1, 1, 0, FillerType.XAVIER,
+                                Activation.NONE, 0, "input", "t")
+    net.add_convolutional_layer(4, 3, 1, 1, 1, 0, FillerType.XAVIER,
+                                Activation.NONE, 0, "t", "direct")
+    net.add_maxpool_layer(2, 2, Padding.VALID, "t", "pool")
+    net.add_convolutional_layer(4, 3, 1, 1, 1, 0, FillerType.XAVIER,
+                                Activation.NONE, 0, "pool", "chained")
+    sess = Session(net, seed=3).compile_net()
+
+    rng = np.random.RandomState(0)
+    calib = rng.rand(2, 1, 8, 8).astype(np.float32)
+    scales = calibrate(net, sess.params, sess.state, [calib])
+    t_i = net.get_tensor_index_by_name("t")
+    p_i = net.get_tensor_index_by_name("pool")
+    if scales[p_i] >= scales[t_i]:
+        # force the interesting case: t's extreme is negative, so maxpool
+        # (which keeps window maxima) drops it and calibrates smaller
+        for k in ("input_w", "input_b"):  # t's producer (keys are <src>_*)
+            sess.params[k] = -sess.params[k]
+        scales = calibrate(net, sess.params, sess.state, [calib])
+    assert scales[p_i] < scales[t_i], (
+        "precondition: chain scale below calibrated scale"
+        f" ({scales[p_i]} vs {scales[t_i]})"
+    )
+
+    qw = quantize_weights(net, sess.params)
+    base = {"act_scales": scales, "weights": qw, "act_flow": True,
+            "flow_joiners": False}
+    plan = plan_int8_flow(net, base)
+    assert t_i not in plan, (
+        "fan-out tensor with a mismatched chain demand must stay fp32, "
+        f"got scale {plan.get(t_i)} (calibrated {scales[t_i]})"
+    )
+    # the chain itself remains coverable: pool's output feeds one conv
+    assert plan.get(p_i) == scales[p_i]
+
+    # and the flow path stays bit-identical to quantize-at-consumer
+    x = rng.rand(2, 1, 8, 8).astype(np.float32)
+    outs = {}
+    for flow in (False, True):
+        net.quant = {**base, "act_flow": flow}
+        sess._forward_cache = {}
+        (a, b), _ = sess.predict_on_batch(
+            x, outputs=["direct", "chained"]
+        )
+        outs[flow] = (np.asarray(a), np.asarray(b))
+        net.quant = None
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
