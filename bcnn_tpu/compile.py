@@ -618,7 +618,11 @@ class _Executor:
         y = ops.concat_channels(
             [self._deq(i, x) for i, x in zip(node.src, xs)]
         )
-        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
+        # mixed-dtype inputs promote the concat to fp32; the boundary
+        # cast keeps branched trunks at the reduced storage dtype
+        self.values[node.dst[0]] = self._cast_act(
+            self._maybe_emit_int8(node, y)
+        )
 
     def _eltwise(self, node: Node, rng):
         p = node.param
@@ -640,7 +644,12 @@ class _Executor:
                 p["min_dim"],
             )
         y = ops.apply_activation(y, p["activation"])
-        self.values[node.dst[0]] = self._maybe_emit_int8(node, y)
+        # residual-sum boundaries carry the trunk's highest traffic; keep
+        # them at the reduced storage dtype (fp32-promoted when one input
+        # was fp32, e.g. the int8 dequant fallback or a BN output)
+        self.values[node.dst[0]] = self._cast_act(
+            self._maybe_emit_int8(node, y)
+        )
 
     def _upsample(self, node: Node, rng):
         self.values[node.dst[0]] = ops.upsample_nn(

@@ -214,8 +214,11 @@ def conv2d(
         return _conv2d_mixed(
             x, w, stride, pad, groups, jnp.dtype(compute_dtype)
         )
+    # act-dtype boundary storage without bf16 compute: upcast the stored
+    # activation back to fp32 (conv_general_dilated requires equal dtypes)
     return _conv_raw(
-        x, w, stride, pad, groups, lax.Precision.HIGHEST, jnp.float32
+        x.astype(jnp.float32), w, stride, pad, groups,
+        lax.Precision.HIGHEST, jnp.float32,
     )
 
 
@@ -260,7 +263,8 @@ def conv2d_transpose(
     if compute_dtype is not None:
         return _convt_mixed(x, w, stride, pad, jnp.dtype(compute_dtype))
     return _convt_raw(
-        x, w, stride, pad, lax.Precision.HIGHEST, jnp.float32
+        x.astype(jnp.float32), w, stride, pad,
+        lax.Precision.HIGHEST, jnp.float32,
     )
 
 

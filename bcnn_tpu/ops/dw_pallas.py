@@ -30,10 +30,16 @@ round 3):
   path.
 
 Math identical to ops.conv.depthwise_conv2d (one filter per channel,
-bcnn_depthwise_conv_layer.c:165-294) + bias + activation; the dispatcher
-(compile._depthwise_conv2d) uses it only on TPU in PREDICT mode (the
-training path keeps the XLA conv so autodiff owns the backward). The
-test suite checks the kernel in interpreter mode against the XLA path.
+bcnn_depthwise_conv_layer.c:165-294) + bias + activation.
+
+NOT DISPATCHED — pinned negative result. Measured on-chip across the 11
+lane-aligned MobileNet dw layers at batch 256, this kernel is
+0.80-0.83x XLA's own depthwise emitter (56.6 vs 45.5 ms per-dispatch
+sum): XLA avoids the whole-image pad/relayout this version pays. The
+kernel is kept, with its correctness tests (test_dw_pallas.py checks it
+in interpreter mode against the XLA path), as the measured record of
+WHY the XLA path stays — compile._depthwise_conv2d has no Pallas branch
+on purpose. Re-evaluate only with a changed Mosaic layout story.
 """
 
 from __future__ import annotations

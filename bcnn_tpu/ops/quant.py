@@ -421,3 +421,27 @@ def plan_int8_flow(net, quant) -> Dict[int, float]:
         if not stale:
             return viable
         enabled -= stale
+
+
+def ptq_synthetic(net, sess, size: int, channels: int = 3,
+                  n: int = 4, seed: int = 1,
+                  method: str = "absmax") -> Dict:
+    """Bench/example-harness helper: PTQ-quantize a randomly INITIALIZED
+    (never trained) net. Random nets carry near-zero BN run_var, which
+    explodes the folded 1/sqrt(var) scale, so running stats are reset to
+    sane values first; calibration then runs on one synthetic uniform
+    batch. Installs and returns net.quant. Real models calibrate with
+    calibrate()/quantize_weights() on representative data instead."""
+    for k in list(sess.state):
+        if "run_var" in k:
+            sess.state[k] = jnp.ones_like(sess.state[k])
+    calib = np.random.RandomState(seed).rand(
+        n, channels, size, size
+    ).astype(np.float32)
+    net.quant = {
+        "act_scales": calibrate(
+            net, sess.params, sess.state, [calib], method=method
+        ),
+        "weights": quantize_weights(net, sess.params),
+    }
+    return net.quant

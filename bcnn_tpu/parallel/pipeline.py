@@ -312,10 +312,17 @@ class Pipeline:
                 self._bwd.append(jax.jit(self._make_bwd(fn)))
 
     def _stage_of_tensor(self, idx: int) -> int:
+        last = None
         for k, (lo, hi) in enumerate(self.ranges):
             for i in range(lo, hi):
                 if idx in self.net.nodes[i].dst:
                     last = k
+        if last is None:
+            raise ValueError(
+                f"tensor {idx} ({self.net.tensors[idx].name!r}) is not "
+                "produced by any node; pipeline outputs must be node "
+                "outputs (host-fed inputs cannot be requested)"
+            )
         return last
 
     @staticmethod

@@ -56,20 +56,9 @@ def main():
         net.act_dtype = jnp.bfloat16
     sess = Session(net, seed=0).compile_net()
     if mode in ("int8", "detect_int8"):
-        from bcnn_tpu.ops.quant import calibrate, quantize_weights
+        from bcnn_tpu.ops.quant import ptq_synthetic
 
-        # sane BN stats for the random net, then PTQ calibration
-        for k in list(sess.state):
-            if "run_var" in k:
-                sess.state[k] = jnp.ones_like(sess.state[k])
-        calib = np.random.RandomState(1).rand(4, 3, size, size).astype(
-            np.float32
-        )
-        scales = calibrate(net, sess.params, sess.state, [calib])
-        net.quant = {
-            "act_scales": scales,
-            "weights": quantize_weights(net, sess.params),
-        }
+        ptq_synthetic(net, sess, size)
     out_idx = [
         net.get_tensor_index_by_name("lid17"),
         net.get_tensor_index_by_name("lid24"),

@@ -44,18 +44,9 @@ def build_session(batch, size, int8):
     net.compute_dtype = jnp.bfloat16
     sess = Session(net, seed=0).compile_net()
     if int8:
-        from bcnn_tpu.ops.quant import calibrate, quantize_weights
+        from bcnn_tpu.ops.quant import ptq_synthetic
 
-        for k in list(sess.state):
-            if "run_var" in k:
-                sess.state[k] = jnp.ones_like(sess.state[k])
-        calib = np.random.RandomState(1).rand(4, 3, size, size).astype(
-            np.float32
-        )
-        net.quant = {
-            "act_scales": calibrate(net, sess.params, sess.state, [calib]),
-            "weights": quantize_weights(net, sess.params),
-        }
+        ptq_synthetic(net, sess, size)
     return net, sess
 
 
@@ -90,7 +81,9 @@ def profile_bucket(batch, size, mode, calls, outdir):
     lat = np.sort(np.asarray(lat))
 
     def pct(p):
-        return float(lat[min(len(lat) - 1, int(round(p / 100 * len(lat))))])
+        # np.percentile interpolates the order statistic; the previous
+        # round(p/100*n) index sat one rank high and pinned p99 to the max
+        return float(np.percentile(lat, p))
 
     return {
         "mode": mode,

@@ -280,3 +280,56 @@ def test_bf16_train_scan():
         {"input": xs, "label": ys}, jax.random.PRNGKey(0),
     )
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_act16_joiner_boundaries_and_no_compute_dtype():
+    """Regression (round-3 review): (a) eltwise/concat outputs must carry
+    the reduced storage dtype too — residual/concat trunks are exactly
+    the high-traffic boundaries train_act_dtype exists for; (b) the
+    act-dtype knobs must work WITHOUT compute_dtype (stored bf16
+    activations upcast at the fp32 conv/deconv, which previously crashed
+    lax.conv_general_dilated on mixed dtypes)."""
+    def branched(with_compute):
+        net = Net(Mode.TRAIN)
+        net.set_input_shape(16, 16, 3, 2)
+        net.set_sgd_optimizer(learning_rate=0.01, momentum=0.9)
+        net.add_convolutional_layer(
+            8, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.RELU, 0,
+            "input", "a",
+        )
+        net.add_convolutional_layer(
+            8, 3, 1, 1, 1, 1, FillerType.XAVIER, Activation.RELU, 0,
+            "a", "b",
+        )
+        net.add_eltwise_layer(Activation.RELU, "b", "a", "e")
+        net.add_concat_layer(["e", "a"], "cat")
+        net.add_fullc_layer(
+            4, FillerType.XAVIER, Activation.NONE, 0, "cat", "f"
+        )
+        net.add_cost_layer(Loss.EUCLIDEAN, Metric.SSE, 1.0, "f")
+        net.train_act_dtype = jnp.bfloat16
+        if with_compute:
+            net.compute_dtype = jnp.bfloat16
+        return net
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    y = jnp.asarray(rng.randn(2, 4, 1, 1).astype(np.float32))
+    for with_compute in (True, False):
+        net = branched(with_compute)
+        sess = Session(net, seed=0).compile_net()
+        ex = execute(
+            net, sess.params, sess.state,
+            {"input": jnp.zeros((2, 3, 16, 16))}, Mode.TRAIN, None,
+        )
+        for name in ("e", "cat"):
+            i = net.get_tensor_index_by_name(name)
+            assert ex.values[i].dtype == jnp.bfloat16, (
+                name, with_compute, ex.values[i].dtype
+            )
+        step = make_train_step(net)
+        params, state, opt, loss = step(
+            sess.params, sess.state, sess.opt_state,
+            {"input": x, "label": y}, jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(float(loss)), (with_compute, float(loss))

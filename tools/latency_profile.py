@@ -55,20 +55,9 @@ def main():
         net.compute_dtype = jnp.bfloat16
         sess = Session(net, seed=0).compile_net()
         if args.int8:
-            from bcnn_tpu.ops.quant import calibrate, quantize_weights
+            from bcnn_tpu.ops.quant import ptq_synthetic
 
-            for k in list(sess.state):
-                if "run_var" in k:
-                    sess.state[k] = jnp.ones_like(sess.state[k])
-            calib = np.random.RandomState(1).rand(
-                min(4, batch), 3, args.size, args.size
-            ).astype(np.float32)
-            net.quant = {
-                "act_scales": calibrate(
-                    net, sess.params, sess.state, [calib]
-                ),
-                "weights": quantize_weights(net, sess.params),
-            }
+            ptq_synthetic(net, sess, args.size, n=min(4, batch))
         detect = make_detect_fn(net, thresh=0.5, max_dets=100)
         fwd = jax.jit(
             lambda p, s, x: detect(p, s, {"input": x})

@@ -111,7 +111,10 @@ def padded_traffic_gb(net, mode):
 
     act_b = (1 if mode.startswith("int8")
              else 2 if mode.endswith("a") else 4)
-    touched = {}  # tensor idx -> bytes (count each tensor once/store)
+    # counting is per-USE: one padded write at the producer plus one
+    # padded read per consuming node (fan-out tensors are read N times)
+    # — a deliberate worst case on top of the worst-case padding; the
+    # model is pinned as an over-predictor either way (see BENCHMARKS.md)
 
     def tbytes(t, b):
         c = ((t.c + 127) // 128) * 128
