@@ -423,20 +423,21 @@ def plan_int8_flow(net, quant) -> Dict[int, float]:
         enabled -= stale
 
 
-def ptq_synthetic(net, sess, size: int, channels: int = 3,
-                  n: int = 4, seed: int = 1,
+def ptq_synthetic(net, sess, n: int = 4, seed: int = 1,
                   method: str = "absmax") -> Dict:
     """Bench/example-harness helper: PTQ-quantize a randomly INITIALIZED
     (never trained) net. Random nets carry near-zero BN run_var, which
     explodes the folded 1/sqrt(var) scale, so running stats are reset to
     sane values first; calibration then runs on one synthetic uniform
-    batch. Installs and returns net.quant. Real models calibrate with
-    calibrate()/quantize_weights() on representative data instead."""
+    batch shaped like the net's input. Installs and returns net.quant.
+    Real models calibrate with calibrate()/quantize_weights() on
+    representative data instead."""
     for k in list(sess.state):
         if "run_var" in k:
             sess.state[k] = jnp.ones_like(sess.state[k])
+    t0 = net.tensors[0]
     calib = np.random.RandomState(seed).rand(
-        n, channels, size, size
+        min(n, t0.n), t0.c, t0.h, t0.w
     ).astype(np.float32)
     net.quant = {
         "act_scales": calibrate(

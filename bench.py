@@ -58,7 +58,7 @@ def main():
     if mode in ("int8", "detect_int8"):
         from bcnn_tpu.ops.quant import ptq_synthetic
 
-        ptq_synthetic(net, sess, size)
+        ptq_synthetic(net, sess)
     out_idx = [
         net.get_tensor_index_by_name("lid17"),
         net.get_tensor_index_by_name("lid24"),

@@ -45,19 +45,9 @@ def build(args):
         net.compute_dtype = jnp.bfloat16
     sess = Session(net, seed=0).compile_net()
     if args.int8:
-        from bcnn_tpu.ops.quant import calibrate, quantize_weights
+        from bcnn_tpu.ops.quant import ptq_synthetic
 
-        for k in list(sess.state):
-            if "run_var" in k:
-                sess.state[k] = jnp.ones_like(sess.state[k])
-        t0 = net.tensors[0]
-        calib = np.random.RandomState(1).rand(
-            min(4, t0.n), t0.c, t0.h, t0.w
-        ).astype(np.float32)
-        net.quant = {
-            "act_scales": calibrate(net, sess.params, sess.state, [calib]),
-            "weights": quantize_weights(net, sess.params),
-        }
+        ptq_synthetic(net, sess)
     return net, sess
 
 

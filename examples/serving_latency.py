@@ -46,7 +46,7 @@ def build_session(batch, size, int8):
     if int8:
         from bcnn_tpu.ops.quant import ptq_synthetic
 
-        ptq_synthetic(net, sess, size)
+        ptq_synthetic(net, sess)
     return net, sess
 
 

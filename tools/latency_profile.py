@@ -57,7 +57,7 @@ def main():
         if args.int8:
             from bcnn_tpu.ops.quant import ptq_synthetic
 
-            ptq_synthetic(net, sess, args.size, n=min(4, batch))
+            ptq_synthetic(net, sess)
         detect = make_detect_fn(net, thresh=0.5, max_dets=100)
         fwd = jax.jit(
             lambda p, s, x: detect(p, s, {"input": x})
