@@ -8,4 +8,4 @@ from .loaders import (
     RegressionListLoader,
     make_loader,
 )
-from .pipeline import BatchPipeline
+from .pipeline import BatchPipeline, ShardedBatchPipeline

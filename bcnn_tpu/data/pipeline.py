@@ -72,3 +72,56 @@ class BatchPipeline:
                 pass
             self._thread.join(timeout=2.0)
             self._thread = None
+
+
+class ShardedBatchPipeline:
+    """Parallel host-side data loading that PRESERVES the sequential
+    stream's batch order.
+
+    The reference's loader is a single sequential FILE* stream
+    (bcnn_loader_next, bcnn_data.c:392-427) — fine for its CPU trainer,
+    but one Python thread cannot decode+augment fast enough to feed a
+    TPU train step. This reuses the multi-host stripe partition
+    (DataLoader.set_shard) ACROSS THREADS: each of W workers owns a
+    private loader striped (w, W) over the same files, so worker w
+    assembles the w-th b-sample slice of every W*b-sample window.
+    Consuming the per-worker queues round-robin therefore reproduces
+    EXACTLY the single-stream batch order while decode and augmentation
+    run W-wide (PIL decode and the numpy/bip kernels release the GIL).
+
+    Semantics note: sample order, labels, EOF rewind and skip-bad-sample
+    follow the per-shard stream semantics of set_shard. Each worker owns
+    its augmenter's RNG stream, so AUGMENTED pixel values draw from
+    per-worker streams (the 1-worker path is the reference-parity one).
+    """
+
+    def __init__(self, loader_factory, workers: int = 2, depth: int = 2,
+                 sharding=None):
+        if workers < 1:
+            raise ValueError(f"workers must be >= 1, got {workers}")
+        self.loaders = []
+        for w in range(workers):
+            ld = loader_factory()
+            ld.set_shard(w, workers)
+            self.loaders.append(ld)
+        self.pipes = [
+            BatchPipeline(ld, depth=depth, sharding=sharding)
+            for ld in self.loaders
+        ]
+
+    def start(self) -> "ShardedBatchPipeline":
+        for p in self.pipes:
+            p.start()
+        return self
+
+    def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        its = [iter(p) for p in self.pipes]
+        while True:
+            for it in its:
+                yield next(it)
+
+    def stop(self):
+        for p in self.pipes:
+            p.stop()
+        for ld in self.loaders:
+            ld.close()

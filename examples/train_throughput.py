@@ -1,0 +1,282 @@
+"""END-TO-END training throughput: loader + augmentation + train step.
+
+The BENCHMARKS.md training rows time the jitted step on a constant
+device batch — the right number for the step itself, but a production
+run must also DECODE, LETTERBOX and AUGMENT every image. This measures
+the sustained images/s of the full loop on a synthetic detection
+dataset under four feed strategies:
+
+  sync      — assemble the PNG batch on the host, then step (the
+              reference's loop shape, bcnn_cl.c train loop)
+  prefetch  — 1 worker assembles batch k+1 while the device runs k
+              (data.BatchPipeline)
+  sharded:W — W workers with (w, W)-striped loaders, round-robin
+              consumption == the sequential batch order
+              (data.ShardedBatchPipeline; needs >1 host core to scale)
+  raw       — pre-letterboxed uint8 records (the production record
+              format: decode+letterbox done once, offline); the host
+              only memcpys raw pixels, and flip/contrast/brightness +
+              normalization run ON DEVICE inside the jitted step
+              (make_train_step(device_augment=...) — the north-star
+              "bip fuses into on-device preprocessing")
+
+Honesty notes baked into the measurement:
+  - per-step wall times are recorded individually; the report includes
+    the STEADY-state rate (median of the last half) because worker
+    queues can pre-buffer enough batches to fake a short run's average;
+  - this container's host has ONE core (nproc=1), so the host-decode
+    strategies hit the 1-core PNG wall (~20 ms decode/image) no matter
+    the worker count — sharded:W is correctness-tested here and sized
+    for real multi-core TPU-VM hosts; raw is the feed that actually
+    keeps the chip busy on a thin host.
+
+Usage:
+  python examples/train_throughput.py [--batch 64] [--steps 24]
+      [--size 416] [--src-size 640] [--images 96] [--workers 8]
+      [--modes sync,prefetch,sharded,raw] [--act bf16|fp32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bcnn_tpu_jax_cache")
+
+import numpy as np
+
+
+def write_dataset(outdir, n, src_w, src_h, seed=0):
+    """Synthetic COCO-shaped detection data: n PNGs + one list file."""
+    from bcnn_tpu import bip
+
+    rng = np.random.RandomState(seed)
+    lst = os.path.join(outdir, "train.txt")
+    if os.path.exists(lst) and len(open(lst).readlines()) == n:
+        return lst  # reuse across runs (PNG encode is slow)
+    lines = []
+    for i in range(n):
+        img = (rng.rand(src_h, src_w, 3) * 255).astype(np.uint8)
+        p = os.path.join(outdir, f"im{i}.png")
+        bip.write_image(p, img)
+        boxes = " ".join(
+            f"{rng.randint(80)} {rng.rand():.4f} {rng.rand():.4f} "
+            f"{0.05 + rng.rand() * 0.3:.4f} {0.05 + rng.rand() * 0.3:.4f}"
+            for _ in range(2)
+        )
+        lines.append(f"{p} {boxes}")
+    with open(lst, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return lst
+
+
+def raw_records(outdir, lst, build_loader, size, n):
+    """One-time offline pass: decode+letterbox every sample through the
+    VALID-mode loader (centered letterbox, augmentation off) and store
+    raw uint8 NCHW pixels + final 50x5 labels — the production record
+    format a real pipeline would write once per dataset."""
+    from bcnn_tpu.types import Mode
+
+    xp = os.path.join(outdir, f"raw_x_{size}.npy")
+    yp = os.path.join(outdir, f"raw_y_{size}.npy")
+    if os.path.exists(xp) and os.path.exists(yp):
+        x = np.load(xp, mmap_mode="r")
+        if x.shape[0] == n and x.shape[2] == size:
+            return x, np.load(yp, mmap_mode="r")
+    loader = build_loader()
+    loader.set_mode(Mode.VALID)
+    xs, ys = [], []
+    remaining = n
+    while remaining > 0:
+        xb, yb = loader.next_batch()
+        take = min(remaining, xb.shape[0])
+        # loader output is (v-127.5)/127.5; invert exactly back to uint8
+        xs.append(
+            np.clip(np.rint(xb[:take] * 127.5 + 127.5), 0, 255)
+            .astype(np.uint8)
+        )
+        ys.append(yb[:take].astype(np.float32))
+        remaining -= take
+    loader.close()
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    np.save(xp, x)
+    np.save(yp, y)
+    return np.load(xp, mmap_mode="r"), np.load(yp, mmap_mode="r")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--src-size", type=int, default=640)
+    ap.add_argument("--images", type=int, default=96)
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--modes", default="sync,prefetch,sharded,raw")
+    ap.add_argument("--act", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--outdir", default="/tmp/bcnn_tpu_det_data")
+    args = ap.parse_args()
+
+    from examples._common import honor_jax_platforms
+
+    honor_jax_platforms()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bcnn_tpu import Mode, Session
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.data import BatchPipeline, DetectionListLoader, \
+        ShardedBatchPipeline
+    from bcnn_tpu.models import yolov3_tiny
+
+    os.makedirs(args.outdir, exist_ok=True)
+    lst = write_dataset(args.outdir, args.images, args.src_size,
+                        int(args.src_size * 0.75))
+
+    def build():
+        net = yolov3_tiny(batch_size=args.batch, width=args.size,
+                          height=args.size, mode=Mode.TRAIN)
+        net.compute_dtype = jnp.bfloat16
+        if args.act == "bf16":
+            net.train_act_dtype = jnp.bfloat16
+        return net
+
+    net = build()
+    sess = Session(net, seed=0).compile_net()
+    step = make_train_step(net)
+    key = jax.random.PRNGKey(0)
+
+    def run_steps(step_fn, batches):
+        """Drive the donated-buffer step over a batch iterator. Returns
+        per-step wall seconds (first two steps excluded: compile/fill)."""
+        params, state, opt = sess.params, sess.state, sess.opt_state
+        times = []
+        t_prev = None
+        for i, (x, y) in enumerate(batches):
+            params, state, opt, loss = step_fn(
+                params, state, opt, {"input": x, "label": y}, key
+            )
+            if i >= 1:
+                # sync each step: per-step times are the whole point
+                # here. block_until_ready alone returns early on the
+                # axon backend — force a one-element host read.
+                jax.block_until_ready(loss)
+                float(np.asarray(loss))
+                now = time.perf_counter()
+                if t_prev is not None:
+                    times.append(now - t_prev)
+                t_prev = now
+        sess.params, sess.state, sess.opt_state = params, state, opt
+        return times
+
+    def report(feed, times, ceiling=None):
+        sustained = args.batch * len(times) / sum(times)
+        # steady state = aggregate rate over the LAST HALF of the run
+        # (a sum, not a median: queued feeds arrive bursty — buffered
+        # batches are instant, starved ones slow — and a median would
+        # cherry-pick the buffered ones)
+        half = times[len(times) // 2:]
+        steady = args.batch * len(half) / sum(half)
+        row = {
+            "feed": feed,
+            "img_s": round(sustained),
+            "img_s_steady": round(steady),
+            "ms_per_step": round(sum(times) / len(times) * 1e3, 1),
+        }
+        if ceiling:
+            row["efficiency_steady"] = round(steady / ceiling, 3)
+        print(json.dumps(row), flush=True)
+        return row
+
+    def take(it, k):
+        for _ in range(k):
+            yield next(it)
+
+    rows = []
+
+    # pure step: constant batch, no host work — the ceiling
+    rng = np.random.RandomState(0)
+    xc = jnp.asarray(rng.rand(args.batch, 3, args.size, args.size),
+                     jnp.float32)
+    yc = jnp.zeros((args.batch, 250), jnp.float32)
+    rows.append(report(
+        "pure-step",
+        run_steps(step, ((xc, yc) for _ in range(args.steps))),
+    ))
+    ceiling = rows[0]["img_s_steady"]
+
+    modes = args.modes.split(",")
+    if "sync" in modes:
+        loader = DetectionListLoader(build(), lst)
+        rows.append(report("sync", run_steps(
+            step, (loader.next_batch() for _ in range(args.steps))
+        ), ceiling))
+        loader.close()
+
+    if "prefetch" in modes:
+        pipe = BatchPipeline(DetectionListLoader(build(), lst), depth=2)
+        rows.append(report("prefetch", run_steps(
+            step, take(iter(pipe), args.steps)
+        ), ceiling))
+        pipe.stop()
+
+    if "sharded" in modes:
+        pipe = ShardedBatchPipeline(
+            lambda: DetectionListLoader(build(), lst),
+            workers=args.workers, depth=2,
+        ).start()
+        # run long enough that the workers' prefill buffer (up to
+        # workers*(depth+1) batches) cannot carry the steady-state half
+        n_steps = max(args.steps, 4 * args.workers * 3)
+        rows.append(report(f"sharded:{args.workers}", run_steps(
+            step, take(iter(pipe), n_steps)
+        ), ceiling))
+        pipe.stop()
+
+    if "raw" in modes:
+        xr, yr = raw_records(
+            args.outdir, lst, lambda: DetectionListLoader(build(), lst),
+            args.size, args.images,
+        )
+        aug = {"random_fliph": 1, "min_contrast": 0.8, "max_contrast": 1.2,
+               "min_brightness": -30, "max_brightness": 30}
+        step_aug = make_train_step(build(), device_augment=aug)
+
+        class RawLoader:
+            """host work = one uint8 memcpy per batch; augmentation +
+            [-1,1] normalization run inside the jitted step on device.
+            Shaped as a loader so BatchPipeline overlaps the (large,
+            tunnel-bound here) host->device uint8 upload with compute."""
+
+            def __init__(self):
+                self.i = 0
+
+            def next_batch(self):
+                n = xr.shape[0]
+                idx = [(self.i + j) % n for j in range(args.batch)]
+                self.i = (self.i + args.batch) % n
+                return (np.ascontiguousarray(xr[idx]),
+                        np.ascontiguousarray(yr[idx]))
+
+        pipe = BatchPipeline(RawLoader(), depth=2)
+        rows.append(report("raw+device-aug", run_steps(
+            step_aug, take(iter(pipe), args.steps)
+        ), ceiling))
+        pipe.stop()
+
+    print("\n| feed | img/s sustained | img/s steady | ms/step "
+          "| steady vs pure step |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        eff = (f"{r['efficiency_steady']:.0%}"
+               if "efficiency_steady" in r else "100%")
+        print(f"| {r['feed']} | {r['img_s']} | {r['img_s_steady']} "
+              f"| {r['ms_per_step']} | {eff} |")
+
+
+if __name__ == "__main__":
+    main()
