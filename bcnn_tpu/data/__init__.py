@@ -9,3 +9,4 @@ from .loaders import (
     make_loader,
 )
 from .pipeline import BatchPipeline, ShardedBatchPipeline
+from .records import RawRecordLoader, records_from_loader, write_records

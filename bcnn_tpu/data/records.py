@@ -1,0 +1,151 @@
+"""Raw training records: decode-once, train-many.
+
+The reference re-decodes every PNG/JPG on every epoch
+(bcnn_detection_loader.c:85, via stb_image) — fine for its CPU trainer,
+but a TPU step consumes images faster than one host core can inflate
+PNGs (measured ~20 ms/image; BENCHMARKS.md "End-to-end training
+throughput"). The production answer is the record file: run the decode
++ letterbox ONCE offline, store raw uint8 pixels + final labels in a
+fixed-record binary, and train from it with nothing on the host but a
+memcpy. Augmentation then runs ON DEVICE inside the jitted step
+(make_train_step(device_augment=...)), which is the north-star "bip
+fuses into on-device batched preprocessing".
+
+File layout (little-endian):
+  header: magic 'BCRD' | u32 version=1 | u32 n | u32 c,h,w | u32 label_sz
+  then n records of (c*h*w uint8 pixels, label_sz float32 labels).
+
+RawRecordLoader is a DataLoader: same stream semantics (sequential
+reads, EOF rewind, set_shard striping for multi-host AND for
+ShardedBatchPipeline workers), but next_batch returns UINT8 pixels so
+the host->device transfer is 4x smaller than fp32 — normalization is
+the device augment's job. Records are mmapped; a batch is one gather.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..types import Mode
+
+_MAGIC = b"BCRD"
+
+
+def write_records(path: str, sample_iter, c: int, h: int, w: int,
+                  label_size: int) -> int:
+    """Write records from an iterator of (uint8 CHW pixels, float32
+    labels). Returns the number of records written."""
+    n = 0
+    with open(path, "wb") as f:
+        f.write(_MAGIC + struct.pack("<5I", 1, 0, c, h, w))
+        f.write(struct.pack("<I", label_size))
+        for img, lab in sample_iter:
+            img = np.ascontiguousarray(img, np.uint8)
+            if img.size != c * h * w:
+                raise ValueError(f"record {n}: pixels {img.shape} != "
+                                 f"({c},{h},{w})")
+            labv = np.zeros(label_size, np.float32)
+            if lab is not None:
+                lab = np.asarray(lab, np.float32).ravel()
+                labv[: lab.size] = lab
+            f.write(img.tobytes())
+            f.write(labv.tobytes())
+            n += 1
+        f.seek(8)
+        f.write(struct.pack("<I", n))
+    return n
+
+
+def records_from_loader(loader, path: str, n: int) -> int:
+    """Offline conversion pass: pull n samples through an existing
+    loader's VALID-mode path (centered letterbox, host augmentation off
+    — randomness belongs to the on-device augment at train time) and
+    write them as raw records. The loader's float output is inverted
+    exactly back to uint8 ((v*127.5)+127.5 is exact for uint8 pixels)."""
+    net = loader.net
+    t0, t1 = net.tensors[0], net.tensors[1]
+    loader.set_mode(Mode.VALID)
+
+    def gen():
+        produced = 0
+        while produced < n:
+            x, y = loader.next_batch()
+            for i in range(x.shape[0]):
+                if produced >= n:
+                    return
+                img = np.clip(np.rint(x[i] * 127.5 + 127.5), 0, 255)
+                yield img.astype(np.uint8), y[i]
+                produced += 1
+
+    return write_records(path, gen(), t0.c, t0.h, t0.w,
+                         max(1, t1.size3d()))
+
+
+class RawRecordLoader:
+    """DataLoader-shaped reader for record files (see module docstring).
+
+    next_batch returns (uint8 (b,c,h,w), float32 (b,label_size)) — feed
+    it to make_train_step(device_augment=...) which expects raw uint8
+    NCHW and normalizes on device. Supports set_shard (the same stripe
+    partition DataLoader uses, so it works under ShardedBatchPipeline
+    and multihost.shard_loader) and EOF rewind."""
+
+    def __init__(self, net, path: str):
+        self.net = net
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(8 + 16 + 4)
+        if head[:4] != _MAGIC:
+            raise ValueError(f"{path}: not a BCRD record file")
+        ver, n, c, h, w, lab = struct.unpack("<6I", head[4:28])
+        if ver != 1:
+            raise ValueError(f"{path}: unsupported record version {ver}")
+        self.n, self.c, self.h, self.w, self.label_size = n, c, h, w, lab
+        self._hdr = 28
+        self._rec = c * h * w + lab * 4
+        self._buf = np.memmap(path, np.uint8, mode="r")
+        self._pos = 0
+        self._shard = None
+
+    # -- DataLoader surface ------------------------------------------- #
+
+    def set_shard(self, process_index: int, process_count: int):
+        if not (0 <= process_index < process_count):
+            raise ValueError((process_index, process_count))
+        self._shard = (
+            None if process_count == 1 else (process_index, process_count)
+        )
+
+    def set_mode(self, mode):  # records carry no mode distinction
+        self._pos = 0
+
+    def close(self):
+        self._buf = None
+
+    def _take(self, b: int):
+        idx = [(self._pos + j) % self.n for j in range(b)]
+        self._pos = (self._pos + b) % self.n
+        px = self.c * self.h * self.w
+        x = np.empty((b, self.c, self.h, self.w), np.uint8)
+        y = np.empty((b, self.label_size), np.float32)
+        for j, r in enumerate(idx):
+            off = self._hdr + r * self._rec
+            x[j] = self._buf[off: off + px].reshape(
+                self.c, self.h, self.w
+            )
+            y[j] = np.frombuffer(
+                self._buf[off + px: off + self._rec].tobytes(), np.float32
+            )
+        return x, y
+
+    def next_batch(self):
+        b = self.net.batch_size
+        if self._shard is None:
+            return self._take(b)
+        pi, pc = self._shard
+        self._pos = (self._pos + pi * b) % self.n
+        out = self._take(b)
+        self._pos = (self._pos + (pc - 1 - pi) * b) % self.n
+        return out

@@ -72,41 +72,6 @@ def write_dataset(outdir, n, src_w, src_h, seed=0):
     return lst
 
 
-def raw_records(outdir, lst, build_loader, size, n):
-    """One-time offline pass: decode+letterbox every sample through the
-    VALID-mode loader (centered letterbox, augmentation off) and store
-    raw uint8 NCHW pixels + final 50x5 labels — the production record
-    format a real pipeline would write once per dataset."""
-    from bcnn_tpu.types import Mode
-
-    xp = os.path.join(outdir, f"raw_x_{size}.npy")
-    yp = os.path.join(outdir, f"raw_y_{size}.npy")
-    if os.path.exists(xp) and os.path.exists(yp):
-        x = np.load(xp, mmap_mode="r")
-        if x.shape[0] == n and x.shape[2] == size:
-            return x, np.load(yp, mmap_mode="r")
-    loader = build_loader()
-    loader.set_mode(Mode.VALID)
-    xs, ys = [], []
-    remaining = n
-    while remaining > 0:
-        xb, yb = loader.next_batch()
-        take = min(remaining, xb.shape[0])
-        # loader output is (v-127.5)/127.5; invert exactly back to uint8
-        xs.append(
-            np.clip(np.rint(xb[:take] * 127.5 + 127.5), 0, 255)
-            .astype(np.uint8)
-        )
-        ys.append(yb[:take].astype(np.float32))
-        remaining -= take
-    loader.close()
-    x = np.concatenate(xs)
-    y = np.concatenate(ys)
-    np.save(xp, x)
-    np.save(yp, y)
-    return np.load(xp, mmap_mode="r"), np.load(yp, mmap_mode="r")
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -238,31 +203,21 @@ def main():
         pipe.stop()
 
     if "raw" in modes:
-        xr, yr = raw_records(
-            args.outdir, lst, lambda: DetectionListLoader(build(), lst),
-            args.size, args.images,
-        )
+        from bcnn_tpu.data import RawRecordLoader, records_from_loader
+
+        rec = os.path.join(args.outdir, f"train_{args.size}.bcrd")
+        if not os.path.exists(rec):
+            # one-time offline pass: decode+letterbox into raw records
+            records_from_loader(
+                DetectionListLoader(build(), lst), rec, args.images
+            )
         aug = {"random_fliph": 1, "min_contrast": 0.8, "max_contrast": 1.2,
                "min_brightness": -30, "max_brightness": 30}
         step_aug = make_train_step(build(), device_augment=aug)
-
-        class RawLoader:
-            """host work = one uint8 memcpy per batch; augmentation +
-            [-1,1] normalization run inside the jitted step on device.
-            Shaped as a loader so BatchPipeline overlaps the (large,
-            tunnel-bound here) host->device uint8 upload with compute."""
-
-            def __init__(self):
-                self.i = 0
-
-            def next_batch(self):
-                n = xr.shape[0]
-                idx = [(self.i + j) % n for j in range(args.batch)]
-                self.i = (self.i + args.batch) % n
-                return (np.ascontiguousarray(xr[idx]),
-                        np.ascontiguousarray(yr[idx]))
-
-        pipe = BatchPipeline(RawLoader(), depth=2)
+        # host work = one uint8 memcpy per batch; augmentation + [-1,1]
+        # normalization run inside the jitted step on device. The
+        # prefetch overlaps the (tunnel-bound here) uint8 upload.
+        pipe = BatchPipeline(RawRecordLoader(build(), rec), depth=2)
         rows.append(report("raw+device-aug", run_steps(
             step_aug, take(iter(pipe), args.steps)
         ), ceiling))

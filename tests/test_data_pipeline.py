@@ -118,3 +118,111 @@ def test_batch_pipeline_surfaces_loader_errors(tmp_path):
     except RuntimeError as e:
         assert "exploded" in str(e)
     pipe.stop()
+
+
+def test_raw_records_roundtrip_and_shard(tmp_path):
+    """records.py: decode-once record files — write from a loader's
+    VALID path, read back exactly; set_shard striping matches the
+    in-memory partition; training from records + on-device augment
+    equals training from loader pixels (identity augment)."""
+    from bcnn_tpu.data import (
+        RawRecordLoader,
+        records_from_loader,
+    )
+
+    lst = write_dataset(tmp_path, n=12)
+    batch, classes = 4, 4
+    net = make_net(12, 12, 3, batch, classes)
+    rec = tmp_path / "train.bcrd"
+    n = records_from_loader(
+        ClassificationListLoader(net, str(lst)), str(rec), 12
+    )
+    assert n == 12
+
+    # roundtrip: loader VALID floats == (records - 127.5)/127.5
+    net2 = make_net(12, 12, 3, batch, classes)
+    src = ClassificationListLoader(net2, str(lst))
+    src.set_mode(Mode.VALID)
+    rl = RawRecordLoader(net2, str(rec))
+    for _ in range(3):
+        xf, yf = src.next_batch()
+        xu, yu = rl.next_batch()
+        assert xu.dtype == np.uint8
+        np.testing.assert_allclose(
+            (xu.astype(np.float32) - 127.5) / 127.5, xf, atol=1e-6
+        )
+        np.testing.assert_array_equal(yu, yf)
+    src.close()
+
+    # striping: 2 shards' round-robin == the sequential record order
+    seq = RawRecordLoader(net2, str(rec))
+    shards = []
+    for w in range(2):
+        s = RawRecordLoader(net2, str(rec))
+        s.set_shard(w, 2)
+        shards.append(s)
+    for _ in range(3):
+        for s in shards:
+            xs, ys = s.next_batch()
+            xq, yq = seq.next_batch()
+            np.testing.assert_array_equal(xs, xq)
+            np.testing.assert_array_equal(ys, yq)
+
+
+def test_train_step_from_records_with_device_augment(tmp_path):
+    """The advertised loop: uint8 records in, device-side normalization
+    (identity augment config) — loss equals the float-loader step."""
+    import jax
+    import jax.numpy as jnp
+
+    from bcnn_tpu import (
+        Activation, FillerType, Loss, Metric, Session,
+    )
+    from bcnn_tpu.compile import make_train_step
+    from bcnn_tpu.data import RawRecordLoader, records_from_loader
+
+    lst = write_dataset(tmp_path, n=8)
+
+    def build():
+        net = Net(Mode.TRAIN)
+        net.set_input_shape(12, 12, 3, 4)
+        net.set_sgd_optimizer(learning_rate=0.01, momentum=0.9)
+        net.add_convolutional_layer(
+            8, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.RELU, 0,
+            "input", "c1",
+        )
+        net.add_fullc_layer(
+            4, FillerType.XAVIER, Activation.NONE, 0, "c1", "f"
+        )
+        net.add_cost_layer(Loss.EUCLIDEAN, Metric.SSE, 1.0, "f")
+        return net
+
+    net = build()
+    rec = tmp_path / "t.bcrd"
+    records_from_loader(ClassificationListLoader(net, str(lst)),
+                        str(rec), 8)
+    rl = RawRecordLoader(net, str(rec))
+    xu, yu = rl.next_batch()
+
+    sess = Session(net, seed=0).compile_net()
+    key = jax.random.PRNGKey(0)
+
+    # float path
+    step_f = make_train_step(net)
+    xf = jnp.asarray((xu.astype(np.float32) - 127.5) / 127.5)
+    _, _, _, loss_f = step_f(
+        sess.params, sess.state, sess.opt_state,
+        {"input": xf, "label": jnp.asarray(yu)}, key,
+    )
+
+    # uint8 + device augment path (identity config: no random ops on)
+    net_u = build()
+    sess_u = Session(net_u, seed=0).compile_net()
+    step_u = make_train_step(net_u, device_augment={})
+    _, _, _, loss_u = step_u(
+        sess_u.params, sess_u.state, sess_u.opt_state,
+        {"input": jnp.asarray(xu), "label": jnp.asarray(yu)}, key,
+    )
+    np.testing.assert_allclose(
+        float(loss_f), float(loss_u), rtol=1e-5
+    )
