@@ -103,6 +103,14 @@ class ShardedBatchPipeline:
         for w in range(workers):
             ld = loader_factory()
             ld.set_shard(w, workers)
+            aug = getattr(ld, "augmenter", None)
+            if aug is not None and w > 0:
+                # every factory-made loader starts from the same seed;
+                # decorrelate the per-worker augmentation streams (worker
+                # 0 keeps the original stream — the 1-worker parity path)
+                aug.rng = np.random.RandomState(
+                    (aug.rng.randint(1 << 31) + w) & 0x7FFFFFFF
+                )
             self.loaders.append(ld)
         self.pipes = [
             BatchPipeline(ld, depth=depth, sharding=sharding)

@@ -226,3 +226,39 @@ def test_train_step_from_records_with_device_augment(tmp_path):
     np.testing.assert_allclose(
         float(loss_f), float(loss_u), rtol=1e-5
     )
+
+
+def test_sharded_pipeline_decorrelates_augment_streams(tmp_path):
+    """Workers start from factory-identical augmenter seeds; the pipeline
+    must decorrelate them (else every stripe draws the SAME augmentation
+    sequence). With brightness augmentation on, two workers' batches for
+    the same window must differ somewhere in pixels while labels stay the
+    stream's own."""
+    lst = write_dataset(tmp_path, n=24)
+    batch, classes = 6, 4
+
+    def build_loader():
+        net = make_net(12, 12, 3, batch, classes)
+        ld = ClassificationListLoader(net, str(lst))
+        ld.augmenter.min_brightness = -60
+        ld.augmenter.max_brightness = 60
+        return ld
+
+    pipe = ShardedBatchPipeline(build_loader, workers=2, depth=1).start()
+    it = iter(pipe)
+    b0 = np.asarray(next(it)[0])
+    b1 = np.asarray(next(it)[0])
+    pipe.stop()
+
+    # sequential single-stream reference with the SAME (seed-0) augmenter:
+    # worker 0's stripe must match it draw-for-draw (the parity stream)...
+    ref = build_loader()
+    r0 = ref.next_batch()[0]
+    r1 = ref.next_batch()[0]
+    ref.close()
+    np.testing.assert_array_equal(b0, r0)
+    # ...while worker 1's stripe must NOT reproduce the seed-0 draws that
+    # the sequential stream would apply to those samples
+    assert not np.array_equal(b1, r1), (
+        "worker 1 drew the same augmentation sequence as worker 0"
+    )
