@@ -44,6 +44,7 @@ class Session:
         self.opt_state = None
         self.loader = None
         self._train_step = None
+        self._train_scan = None
         self._forward_cache = {}
         self._rng = jax.random.PRNGKey(seed ^ 0x5EED)
         self._step_count = 0
@@ -82,6 +83,7 @@ class Session:
             if self.opt_state is not None:
                 self.opt_state = replicate(self.mesh, self.opt_state)
         self._train_step = None
+        self._train_scan = None
         self._forward_cache = {}
         return self
 
@@ -153,6 +155,47 @@ class Session:
         )
         self._step_count += 1
         return loss
+
+    def train_scan_on_batches(self, k: int) -> float:
+        """k loader batches through ONE device program
+        (compile.make_train_scan): the production loop shape — no host
+        round-trip per step (removes the measured ~9.5 ms per-dispatch
+        tunnel cost, BENCHMARKS.md). Returns the SUM of the k steps'
+        reported losses, so callers accumulate it exactly like k
+        train_on_batch calls. Without dropout/device-augment the k-step
+        trajectory matches k sequential steps to float-reassociation
+        tolerance (the scan and straight-line programs fuse/round
+        differently under XLA — test-pinned in test_cli.py); with them,
+        the per-step RNG stream also differs."""
+        xs, ys = [], []
+        for _ in range(k):
+            x, y = self.loader.next_batch()
+            xs.append(x)
+            ys.append(y)
+        xs_in = jnp.asarray(np.stack(xs), jnp.float32)
+        xs_lab = jnp.asarray(np.stack(ys), jnp.float32)
+        self._rng, sub = jax.random.split(self._rng)
+        if self.mesh is not None:
+            from .parallel import make_dp_train_scan
+
+            if self._train_scan is None:
+                self._train_scan = make_dp_train_scan(self.net, self.mesh)
+            out = self._train_scan(
+                self.params, self.state, self.opt_state, xs_in, xs_lab,
+                sub,
+            )
+        else:
+            if self._train_scan is None:
+                from .compile import make_train_scan
+
+                self._train_scan = make_train_scan(self.net)
+            out = self._train_scan(
+                self.params, self.state, self.opt_state,
+                {"input": xs_in, "label": xs_lab}, sub,
+            )
+        self.params, self.state, self.opt_state, losses = out
+        self._step_count += k
+        return float(jnp.sum(losses))
 
     def predict_on_batch(
         self, x: Optional[np.ndarray] = None,

@@ -57,6 +57,7 @@ class CliParam:
     path_train_label: Optional[str] = None
     test_input: Optional[str] = None
     path_test_label: Optional[str] = None
+    scan_steps: int = 1  # extension: k loader batches per device program
 
 
 def load_cli_param(config_path: str) -> CliParam:
@@ -89,7 +90,10 @@ def load_cli_param(config_path: str) -> CliParam:
             p.test_input = v
         elif k == "label_test":
             p.path_test_label = v
+        elif k == "scan_steps":
+            p.scan_steps = int(v)
     p.num_pred = max(p.num_pred, 1)
+    p.scan_steps = max(p.scan_steps, 1)
     p.eval_period = p.eval_period if p.eval_period > 0 else 100
     p.save_model = p.save_model if p.save_model > 0 else 1000
     return p
@@ -168,6 +172,22 @@ def _dump_detections(sess: Session, x, y):
 def train(sess: Session, param: CliParam) -> float:
     net = sess.net
     nb_iter = net.learner.max_batches
+    k = param.scan_steps
+    if k > 1:
+        # extension (conf key `scan_steps`): run k loader batches per
+        # device program via lax.scan — no host round-trip per step
+        # (measured -9.5 ms/step through the axon tunnel, BENCHMARKS.md).
+        # Eval/save boundaries must align with the chunk size; when they
+        # don't, fall back to the reference-exact per-step loop.
+        if (param.eval_period % k or param.save_model % k
+                or nb_iter % k):
+            print(
+                f"scan_steps={k} does not divide eval_period/"
+                "save_model/max_batches; using the per-step loop",
+                file=sys.stderr,
+            )
+        else:
+            return _train_scan_loop(sess, param, k)
     sum_error = 0.0
     t0 = time.time()
     for i in range(nb_iter):
@@ -198,6 +218,40 @@ def train(sess: Session, param: CliParam) -> float:
                 sess.net,
                 sess.params,
                 sess.state,
+                f"{param.output_model}_iter{i}.bcnnmodel",
+            )
+    return sum_error / (param.eval_period * net.batch_size)
+
+
+def _train_scan_loop(sess: Session, param: CliParam, k: int) -> float:
+    """Chunked train loop: k steps per device dispatch. Loss accounting,
+    eval cadence, and checkpoint names match the per-step loop at every
+    chunk boundary (and boundaries are guaranteed aligned by train())."""
+    net = sess.net
+    nb_iter = net.learner.max_batches
+    sum_error = 0.0
+    t0 = time.time()
+    i = 0
+    while i < nb_iter:
+        sum_error += float(sess.train_scan_on_batches(k))
+        i += k
+        if i % param.eval_period == 0 and i < nb_iter:
+            dt = time.time() - t0
+            msg = (
+                f"iter-batches= {i} train-error= "
+                f"{sum_error / (param.eval_period * net.batch_size):f} "
+            )
+            if param.eval_test:
+                sess.set_mode(Mode.VALID)
+                error_valid = predict(sess, param)
+                sess.set_mode(Mode.TRAIN)
+                msg += f"test-error= {error_valid:f} "
+            print(msg + f"training-time= {dt:.3f} sec", file=sys.stderr)
+            t0 = time.time()
+            sum_error = 0.0
+        if i % param.save_model == 0 and i < nb_iter and param.output_model:
+            save_weights(
+                sess.net, sess.params, sess.state,
                 f"{param.output_model}_iter{i}.bcnnmodel",
             )
     return sum_error / (param.eval_period * net.batch_size)

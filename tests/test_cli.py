@@ -145,3 +145,55 @@ def test_cli_export_serving_artifact(tmp_path):
     got = np.asarray(got)
     assert got.shape == (16, 10, 1, 1)
     np.testing.assert_allclose(got.sum(axis=1).ravel(), 1.0, rtol=1e-4)
+
+
+def test_cli_train_scan_steps_matches_per_step_loop(tmp_path):
+    """Extension key scan_steps=k: k loader batches per device program
+    (lax.scan). No dropout in this conf, so the k-chunked trajectory is
+    IDENTICAL to the per-step loop — same final weights file content and
+    same checkpoint filenames at the aligned boundaries."""
+    ti, tl, _, _ = write_mnist(tmp_path, n=128, seed=0, name="train")
+    vi, vl, _, _ = write_mnist(tmp_path, n=64, seed=9, name="t10k")
+    from bcnn_tpu.cli import main
+
+    outs = {}
+    for tag, extra in (("seq", ""), ("scan", "scan_steps=5\n")):
+        out_model = str(tmp_path / f"model_{tag}.bcnnmodel")
+        conf = tmp_path / f"mnist_{tag}.conf"
+        text = CONF.format(
+            train_img=ti, train_lbl=tl, test_img=vi, test_lbl=vl,
+            out_model=out_model,
+        )
+        # align every boundary with k=5 and drop eval_test (predict
+        # rewinds the eval stream identically either way, keep it simple)
+        text = text.replace("max_batches=81", "max_batches=80")
+        text = text.replace("eval_test=1", "eval_test=0")
+        text = text.replace("[network]", "[network]\n" + extra)
+        conf.write_text(text)
+        assert main(["train", str(conf)]) == 0
+        assert os.path.exists(out_model)
+        assert os.path.exists(out_model + "_iter60.bcnnmodel")
+        outs[tag] = out_model
+
+    # compare the final weights numerically: the scan program and the
+    # straight-line step fuse/round differently under XLA, so bit-equality
+    # is not guaranteed — but the trajectory must agree tightly
+    from bcnn_tpu import Mode, Net
+    from bcnn_tpu.config import load_net
+    from bcnn_tpu.serialization import load_weights
+
+    vals = {}
+    for tag in outs:
+        net = Net(Mode.TRAIN)
+        load_net(net, str(tmp_path / f"mnist_{tag}.conf"))
+        from bcnn_tpu import Session
+
+        sess = Session(net, 0).compile_net()
+        load_weights(net, sess.params, sess.state, outs[tag])
+        vals[tag] = {k: np.asarray(v) for k, v in sess.params.items()}
+    for k in vals["seq"]:
+        a, b = vals["seq"][k], vals["scan"][k]
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-4,
+            err_msg=f"scan_steps trajectory diverged at {k}",
+        )
