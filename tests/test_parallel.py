@@ -517,3 +517,43 @@ def test_fsdp_second_step_converges(mesh8):
         np.testing.assert_allclose(
             float(loss1), float(loss), rtol=1e-4, err_msg=f"step {i}"
         )
+
+
+def test_session_train_scan_on_batches_dp(mesh8):
+    """Session.train_scan_on_batches on a mesh routes through
+    make_dp_train_scan: k chunked DP steps track k sequential
+    single-device steps (same loader data; scan-vs-straight-line
+    compilation rounds differently, hence tolerance not bit-equality)."""
+    from bcnn_tpu import Session
+    from tests.test_train import lenet, synthetic_batch
+
+    k, batch = 4, 16
+
+    class FixedLoader:
+        def __init__(self):
+            self.r = np.random.RandomState(11)
+
+        def next_batch(self):
+            return synthetic_batch(self.r, batch, 12, 4)
+
+    # single device, sequential
+    net1 = lenet(batch, 12, 4)
+    s1 = Session(net1, seed=0).compile_net()
+    s1.loader = FixedLoader()
+    seq_loss = sum(float(s1.train_on_batch()) for _ in range(k))
+
+    # mesh, one scan chunk
+    net8 = lenet(batch, 12, 4)
+    s8 = Session(net8, seed=0, mesh=mesh8).compile_net()
+    s8.loader = FixedLoader()
+    scan_loss = s8.train_scan_on_batches(k)
+
+    assert abs(seq_loss - scan_loss) <= 1e-3 * max(1.0, abs(seq_loss)), (
+        seq_loss, scan_loss,
+    )
+    for kk in s1.params:
+        a = np.asarray(s1.params[kk])
+        b = np.asarray(jax.device_get(s8.params[kk]))
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=2e-4, err_msg=kk
+        )
