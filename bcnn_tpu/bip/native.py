@@ -84,6 +84,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _f32p, _i,
         ]
         lib.bcnn_loader_cifar_batch.restype = _i
+    if hasattr(lib, "bcnn_loader_records_batch"):
+        lib.bcnn_loader_records_batch.argtypes = [
+            _u8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_long), _i, _u8p,
+            _f32p,
+        ]
+        lib.bcnn_loader_records_batch.restype = _i
     _LIB = lib
     return _LIB
 

@@ -33,6 +33,21 @@ from ..types import Mode
 _MAGIC = b"BCRD"
 
 
+def _native_lib():
+    """Native batched gather (native/loader.cpp) — same opt-out knobs as
+    the other native loader paths (data/native_loader.py)."""
+    import os
+
+    if os.environ.get("BCNN_TPU_NATIVE_LOADER", "1") == "0":
+        return None
+    from ..bip.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bcnn_loader_records_batch"):
+        return None
+    return lib
+
+
 def write_records(path: str, sample_iter, c: int, h: int, w: int,
                   label_size: int) -> int:
     """Write records from an iterator of (uint8 CHW pixels, float32
@@ -125,11 +140,24 @@ class RawRecordLoader:
         self._buf = None
 
     def _take(self, b: int):
-        idx = [(self._pos + j) % self.n for j in range(b)]
-        self._pos = (self._pos + b) % self.n
         px = self.c * self.h * self.w
         x = np.empty((b, self.c, self.h, self.w), np.uint8)
         y = np.empty((b, self.label_size), np.float32)
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+
+            pos = ctypes.c_long(self._pos)
+            rc = lib.bcnn_loader_records_batch(
+                self._buf, self._hdr, self.n, px, self.label_size,
+                ctypes.byref(pos), b,
+                x.reshape(-1), y,
+            )
+            if rc == 0:
+                self._pos = pos.value
+                return x, y
+        idx = [(self._pos + j) % self.n for j in range(b)]
+        self._pos = (self._pos + b) % self.n
         for j, r in enumerate(idx):
             off = self._hdr + r * self._rec
             x[j] = self._buf[off: off + px].reshape(

@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cstring>
 #include <vector>
 
 #ifdef _OPENMP
@@ -120,6 +121,37 @@ int bcnn_loader_cifar_batch(const uint8_t* buf, long buf_len, long* pos,
         }
     }
     if (bad) return -1;
+    *pos = p;
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// BCRD raw-record batch gather (bcnn_tpu/data/records.py): records of
+// (px uint8 pixels, label_sz float32 labels) starting at `hdr`; copies
+// `batch` records starting at record index *pos (wrapping at n) into
+// out_x (uint8) / out_y (float32) and advances *pos. Pure memcpy work,
+// OpenMP across records.
+int bcnn_loader_records_batch(const uint8_t* buf, long hdr, long n,
+                              long px, long label_sz, long* pos,
+                              int batch, uint8_t* out_x, float* out_y) {
+    if (n <= 0 || px <= 0) return -1;
+    const long rec = px + label_sz * 4;
+    long p = *pos % n;
+    std::vector<long> idx(batch);
+    for (int i = 0; i < batch; ++i) {
+        idx[i] = p;
+        p = (p + 1) % n;
+    }
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < batch; ++i) {
+        const uint8_t* r = buf + hdr + idx[i] * rec;
+        memcpy(out_x + (size_t)i * px, r, (size_t)px);
+        memcpy(out_y + (size_t)i * label_sz, r + px,
+               (size_t)label_sz * 4);
+    }
     *pos = p;
     return 0;
 }

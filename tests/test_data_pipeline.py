@@ -262,3 +262,37 @@ def test_sharded_pipeline_decorrelates_augment_streams(tmp_path):
     assert not np.array_equal(b1, r1), (
         "worker 1 drew the same augmentation sequence as worker 0"
     )
+
+
+def test_raw_records_native_gather_bit_identical(tmp_path, monkeypatch):
+    """The native (C++/OpenMP) record gather must produce exactly the
+    Python mmap path's batches, wrap-around included."""
+    from bcnn_tpu.bip.native import get_lib
+    from bcnn_tpu.data import RawRecordLoader, records_from_loader
+
+    if get_lib() is None or not hasattr(
+        get_lib(), "bcnn_loader_records_batch"
+    ):
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    lst = write_dataset(tmp_path, n=10)
+    net = make_net(12, 12, 3, 4, 4)
+    rec = tmp_path / "t.bcrd"
+    records_from_loader(ClassificationListLoader(net, str(lst)),
+                        str(rec), 10)
+
+    ln = RawRecordLoader(net, str(rec))
+    monkeypatch.setenv("BCNN_TPU_NATIVE_LOADER", "0")
+    lp = RawRecordLoader(net, str(rec))
+    monkeypatch.delenv("BCNN_TPU_NATIVE_LOADER")
+    import os
+    for i in range(6):  # 24 samples over a 10-record file: wraps twice
+        os.environ["BCNN_TPU_NATIVE_LOADER"] = "1"
+        xn, yn = ln.next_batch()
+        os.environ["BCNN_TPU_NATIVE_LOADER"] = "0"
+        xp, yp = lp.next_batch()
+        np.testing.assert_array_equal(xn, xp, err_msg=str(i))
+        np.testing.assert_array_equal(yn, yp)
+    del os.environ["BCNN_TPU_NATIVE_LOADER"]
