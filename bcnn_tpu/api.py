@@ -167,6 +167,21 @@ class Session:
         tolerance (the scan and straight-line programs fuse/round
         differently under XLA — test-pinned in test_cli.py); with them,
         the per-step RNG stream also differs."""
+        unsupported = [
+            name for name, on in (
+                ("device_augment", getattr(self.net, "device_augment",
+                                           None) is not None),
+                ("remat", bool(getattr(self.net, "remat", False))),
+                ("accum_steps",
+                 int(getattr(self.net, "accum_steps", 1) or 1) > 1),
+            ) if on
+        ]
+        if unsupported:
+            raise ValueError(
+                "train_scan_on_batches does not support "
+                f"{'/'.join(unsupported)} (make_train_scan runs the bare "
+                "step); use train_on_batch for those nets"
+            )
         xs, ys = [], []
         for _ in range(k):
             x, y = self.loader.next_batch()

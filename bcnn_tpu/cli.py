@@ -179,11 +179,17 @@ def train(sess: Session, param: CliParam) -> float:
         # (measured -9.5 ms/step through the axon tunnel, BENCHMARKS.md).
         # Eval/save boundaries must align with the chunk size; when they
         # don't, fall back to the reference-exact per-step loop.
+        scan_unsupported = (
+            getattr(net, "device_augment", None) is not None
+            or bool(getattr(net, "remat", False))
+            or int(getattr(net, "accum_steps", 1) or 1) > 1
+        )
         if (param.eval_period % k or param.save_model % k
-                or nb_iter % k):
+                or nb_iter % k or scan_unsupported):
             print(
-                f"scan_steps={k} does not divide eval_period/"
-                "save_model/max_batches; using the per-step loop",
+                f"scan_steps={k} needs aligned eval_period/save_model/"
+                "max_batches and no device_augment/remat/accum_steps; "
+                "using the per-step loop",
                 file=sys.stderr,
             )
         else:
@@ -224,9 +230,15 @@ def train(sess: Session, param: CliParam) -> float:
 
 
 def _train_scan_loop(sess: Session, param: CliParam, k: int) -> float:
-    """Chunked train loop: k steps per device dispatch. Loss accounting,
-    eval cadence, and checkpoint names match the per-step loop at every
-    chunk boundary (and boundaries are guaranteed aligned by train())."""
+    """Chunked train loop: k steps per device dispatch, eval/save at
+    every aligned boundary. Deliberate deviation from the per-step
+    loop's cadence: the reference evals after step INDEX i%period==0 —
+    i.e. after i+1 completed steps (bcnn_cl.c's loop counts from 0) —
+    which no chunking can reproduce without splitting a chunk. This
+    loop evals/saves after exactly i completed steps, so an _iter{i}
+    checkpoint here holds i updates (the per-step loop's holds i+1),
+    and each logged train-error window covers exactly eval_period
+    steps. The per-step loop (scan_steps=1) stays reference-exact."""
     net = sess.net
     nb_iter = net.learner.max_batches
     sum_error = 0.0

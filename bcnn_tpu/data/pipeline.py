@@ -62,8 +62,11 @@ class BatchPipeline:
                 raise item
             yield item
 
-    def stop(self):
+    def stop(self) -> bool:
+        """Returns True when the worker thread actually exited (callers
+        may only tear down the loader underneath it in that case)."""
         self._stop.set()
+        joined = True
         if self._thread:
             try:
                 while True:
@@ -71,7 +74,9 @@ class BatchPipeline:
             except queue.Empty:
                 pass
             self._thread.join(timeout=2.0)
+            joined = not self._thread.is_alive()
             self._thread = None
+        return joined
 
 
 class ShardedBatchPipeline:
@@ -129,7 +134,9 @@ class ShardedBatchPipeline:
                 yield next(it)
 
     def stop(self):
-        for p in self.pipes:
-            p.stop()
-        for ld in self.loaders:
-            ld.close()
+        for p, ld in zip(self.pipes, self.loaders):
+            # close the loader only once its worker has really exited —
+            # a thread still blocked in a slow decode would otherwise
+            # read from a closed file
+            if p.stop():
+                ld.close()

@@ -74,13 +74,32 @@ def write_records(path: str, sample_iter, c: int, h: int, w: int,
 
 
 def records_from_loader(loader, path: str, n: int) -> int:
-    """Offline conversion pass: pull n samples through an existing
-    loader's VALID-mode path (centered letterbox, host augmentation off
-    — randomness belongs to the on-device augment at train time) and
-    write them as raw records. The loader's float output is inverted
-    exactly back to uint8 ((v*127.5)+127.5 is exact for uint8 pixels)."""
+    """Offline conversion pass: pull n samples of the TRAIN source
+    through an existing loader's VALID-mode processing (centered
+    letterbox, host augmentation off — randomness belongs to the
+    on-device augment at train time) and write them as raw records. The
+    loader's float output is inverted exactly back to uint8
+    ((v*127.5)+127.5 is exact for uint8 pixels), which requires the
+    DEFAULT normalization: custom means, no_input_norm, BGR swap, and
+    raw_mode would all silently corrupt the inversion, so they are
+    rejected loudly here."""
+    a = getattr(loader, "augmenter", None)
+    if getattr(loader, "raw_mode", False) or (a is not None and (
+        a.no_input_norm or a.swap_to_bgr or a.mean_r or a.mean_g
+        or a.mean_b
+    )):
+        raise ValueError(
+            "records_from_loader assumes the default (v-127.5)/127.5 "
+            "normalization; this loader uses no_input_norm/mean/BGR/"
+            "raw_mode — write records with write_records() from raw "
+            "pixels instead"
+        )
     net = loader.net
     t0, t1 = net.tensors[0], net.tensors[1]
+    # VALID-mode PROCESSING over the TRAIN source: f_current prefers the
+    # test stream outside TRAIN mode, so park it during the pass
+    saved = (loader.f_test, loader.f_test_extra)
+    loader.f_test = loader.f_test_extra = None
     loader.set_mode(Mode.VALID)
 
     def gen():
@@ -94,8 +113,12 @@ def records_from_loader(loader, path: str, n: int) -> int:
                 yield img.astype(np.uint8), y[i]
                 produced += 1
 
-    return write_records(path, gen(), t0.c, t0.h, t0.w,
-                         max(1, t1.size3d()))
+    try:
+        return write_records(path, gen(), t0.c, t0.h, t0.w,
+                             max(1, t1.size3d()))
+    finally:
+        loader.f_test, loader.f_test_extra = saved
+        loader.set_mode(Mode.TRAIN)
 
 
 class RawRecordLoader:
@@ -121,7 +144,20 @@ class RawRecordLoader:
         self._hdr = 28
         self._rec = c * h * w + lab * 4
         self._buf = np.memmap(path, np.uint8, mode="r")
-        self._pos = 0
+        if n < 1:
+            raise ValueError(
+                f"{path}: header says {n} records (writer crashed before "
+                "patching the count?)"
+            )
+        need = self._hdr + n * self._rec
+        if self._buf.size < need:
+            raise ValueError(
+                f"{path}: truncated — header promises {n} records "
+                f"({need} bytes), file has {self._buf.size}"
+            )
+        self._pos = 0        # TRAIN stream position
+        self._pos_eval = 0   # VALID/PREDICT stream position
+        self._mode = Mode.TRAIN
         self._shard = None
 
     # -- DataLoader surface ------------------------------------------- #
@@ -133,31 +169,45 @@ class RawRecordLoader:
             None if process_count == 1 else (process_index, process_count)
         )
 
-    def set_mode(self, mode):  # records carry no mode distinction
-        self._pos = 0
+    def set_mode(self, mode):
+        """DataLoader stream semantics: the eval stream rewinds on every
+        switch; the TRAIN position survives eval cycles."""
+        self._mode = mode
+        if mode != Mode.TRAIN:
+            self._pos_eval = 0
 
     def close(self):
         self._buf = None
+
+    def _get_pos(self) -> int:
+        return self._pos if self._mode == Mode.TRAIN else self._pos_eval
+
+    def _set_pos(self, v: int):
+        if self._mode == Mode.TRAIN:
+            self._pos = v
+        else:
+            self._pos_eval = v
 
     def _take(self, b: int):
         px = self.c * self.h * self.w
         x = np.empty((b, self.c, self.h, self.w), np.uint8)
         y = np.empty((b, self.label_size), np.float32)
+        cur = self._get_pos()
         lib = _native_lib()
         if lib is not None:
             import ctypes
 
-            pos = ctypes.c_long(self._pos)
+            pos = ctypes.c_long(cur)
             rc = lib.bcnn_loader_records_batch(
                 self._buf, self._hdr, self.n, px, self.label_size,
                 ctypes.byref(pos), b,
                 x.reshape(-1), y,
             )
             if rc == 0:
-                self._pos = pos.value
+                self._set_pos(pos.value)
                 return x, y
-        idx = [(self._pos + j) % self.n for j in range(b)]
-        self._pos = (self._pos + b) % self.n
+        idx = [(cur + j) % self.n for j in range(b)]
+        self._set_pos((cur + b) % self.n)
         for j, r in enumerate(idx):
             off = self._hdr + r * self._rec
             x[j] = self._buf[off: off + px].reshape(
@@ -173,7 +223,7 @@ class RawRecordLoader:
         if self._shard is None:
             return self._take(b)
         pi, pc = self._shard
-        self._pos = (self._pos + pi * b) % self.n
+        self._set_pos((self._get_pos() + pi * b) % self.n)
         out = self._take(b)
-        self._pos = (self._pos + (pc - 1 - pi) * b) % self.n
+        self._set_pos((self._get_pos() + (pc - 1 - pi) * b) % self.n)
         return out

@@ -22,8 +22,9 @@ dataset under four feed strategies:
 
 Honesty notes baked into the measurement:
   - per-step wall times are recorded individually; the report includes
-    the STEADY-state rate (median of the last half) because worker
-    queues can pre-buffer enough batches to fake a short run's average;
+    the STEADY-state rate (aggregate over the last half of the run)
+    because worker queues can pre-buffer enough batches to fake a short
+    run's average;
   - this container's host has ONE core (nproc=1), so the host-decode
     strategies hit the 1-core PNG wall (~20 ms decode/image) no matter
     the worker count — sharded:W is correctness-tested here and sized
@@ -53,13 +54,13 @@ def write_dataset(outdir, n, src_w, src_h, seed=0):
     from bcnn_tpu import bip
 
     rng = np.random.RandomState(seed)
-    lst = os.path.join(outdir, "train.txt")
+    lst = os.path.join(outdir, f"train_n{n}_s{src_w}.txt")
     if os.path.exists(lst) and len(open(lst).readlines()) == n:
         return lst  # reuse across runs (PNG encode is slow)
     lines = []
     for i in range(n):
         img = (rng.rand(src_h, src_w, 3) * 255).astype(np.uint8)
-        p = os.path.join(outdir, f"im{i}.png")
+        p = os.path.join(outdir, f"im{i}_s{src_w}.png")
         bip.write_image(p, img)
         boxes = " ".join(
             f"{rng.randint(80)} {rng.rand():.4f} {rng.rand():.4f} "
@@ -84,6 +85,9 @@ def main():
     ap.add_argument("--act", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--outdir", default="/tmp/bcnn_tpu_det_data")
     args = ap.parse_args()
+    if args.steps < 4:
+        ap.error("--steps must be >= 4 (first two steps are warmup; "
+                 "steady state needs at least two timed samples)")
 
     from examples._common import honor_jax_platforms
 
@@ -205,7 +209,8 @@ def main():
     if "raw" in modes:
         from bcnn_tpu.data import RawRecordLoader, records_from_loader
 
-        rec = os.path.join(args.outdir, f"train_{args.size}.bcrd")
+        rec = os.path.join(args.outdir,
+                           f"train_{args.size}_n{args.images}.bcrd")
         if not os.path.exists(rec):
             # one-time offline pass: decode+letterbox into raw records
             records_from_loader(
