@@ -163,18 +163,28 @@ def bench_train(batch: int, runs: int):
     from bcnn_tpu.models import yolov3_tiny
     from bcnn_tpu.types import DETECTION_MAX_BOXES
 
-    net = yolov3_tiny(batch_size=batch, mode=Mode.TRAIN)
+    size = int(os.environ.get("BENCH_SIZE", "416"))  # test smoke uses 160
+    net = yolov3_tiny(batch_size=batch, width=size, height=size,
+                      mode=Mode.TRAIN)
     net.compute_dtype = jnp.bfloat16
     # bf16 activation storage measured 19% faster at batch 256 (112.5 vs
     # 139.1 ms same-session, BENCHMARKS.md); BENCH_ACT=fp32 opts out
     act = os.environ.get("BENCH_ACT", "bf16")
     if act == "bf16":
         net.train_act_dtype = jnp.bfloat16
+    # BENCH_SCAN=K>1: the production loop shape — K steps in one device
+    # program (make_train_scan), amortizing the per-dispatch tunnel RTT.
+    # Keep K <= 10 (CLAUDE.md: longer scans wedge the shared remote
+    # compiler with giant HLOs).
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
     sess = Session(net, seed=0).compile_net()
+    if scan_k > 1:
+        return _bench_train_scan(net, sess, batch, runs, scan_k, act,
+                                 size)
     step = make_train_step(net)
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, 3, 416, 416), jnp.float32)
+    x = jnp.asarray(rng.rand(batch, 3, size, size), jnp.float32)
     label = np.zeros((batch, DETECTION_MAX_BOXES * 5), np.float32)
     label[:, 0:5] = [0.5, 0.5, 0.25, 0.25, 1]
     label = jnp.asarray(label)
@@ -220,7 +230,7 @@ def bench_train(batch: int, runs: int):
     print(
         json.dumps(
             {
-                "metric": "yolov3_tiny_416_train_bf16"
+                "metric": f"yolov3_tiny_{size}_train_bf16"
                 + ("_act16" if act == "bf16" else ""),
                 "value": round(img_s, 1),
                 "unit": "img/s/chip",
@@ -232,6 +242,68 @@ def bench_train(batch: int, runs: int):
                 "n_rounds": len(round_bests),
                 "avg_ms": round(sum(times) / len(times) * 1e3, 2),
                 "loss": float(np.asarray(loss)),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+def _bench_train_scan(net, sess, batch, runs, scan_k, act, size):
+    """K-step lax.scan training program with pre-staged batches — the
+    shape the CLI's scan_steps / Session.train_scan_on_batches run in
+    production. Reports per-step time (total / K)."""
+    from bcnn_tpu.compile import make_train_scan
+    from bcnn_tpu.types import DETECTION_MAX_BOXES
+
+    scan = make_train_scan(net)
+    rng = np.random.RandomState(0)
+    x = np.asarray(rng.rand(scan_k, batch, 3, size, size), np.float32)
+    label = np.zeros((scan_k, batch, DETECTION_MAX_BOXES * 5), np.float32)
+    label[:, :, 0:5] = [0.5, 0.5, 0.25, 0.25, 1]
+    batches = {"input": jnp.asarray(x), "label": jnp.asarray(label)}
+    key = jax.random.PRNGKey(0)
+    params, state, opt = sess.params, sess.state, sess.opt_state
+
+    params, state, opt, losses = scan(params, state, opt, batches, key)
+    jax.block_until_ready(losses)
+    _ = float(np.asarray(losses)[-1])
+
+    round_bests = []
+    times = []
+    for r in range(max(2, runs // 4)):
+        rb = []
+        for i in range(3):
+            key = jax.random.fold_in(key, r * 10 + i)
+            t0 = time.perf_counter()
+            params, state, opt, losses = scan(params, state, opt, batches,
+                                              key)
+            jax.block_until_ready(losses)
+            _ = float(np.asarray(losses)[-1])
+            dt = (time.perf_counter() - t0) / scan_k
+            times.append(dt)
+            rb.append(dt)
+        round_bests.append(min(rb))
+
+    best = min(round_bests)
+    median_best = float(np.median(round_bests))
+    img_s = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": f"yolov3_tiny_{size}_train_bf16"
+                + ("_act16" if act == "bf16" else "")
+                + f"_scan{scan_k}",
+                "value": round(img_s, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s / TARGET_IMG_S, 3),
+                "batch": batch,
+                "scan_steps": scan_k,
+                "best_ms": round(best * 1e3, 2),
+                "median_best_ms": round(median_best * 1e3, 2),
+                "median_best_img_s": round(batch / median_best, 1),
+                "n_rounds": len(round_bests),
+                "avg_ms": round(sum(times) / len(times) * 1e3, 2),
+                "loss": float(np.asarray(losses)[-1]),
                 "device": str(jax.devices()[0]),
             }
         )
