@@ -48,6 +48,9 @@ class Session:
         self._forward_cache = {}
         self._rng = jax.random.PRNGKey(seed ^ 0x5EED)
         self._step_count = 0
+        # set by train_on_batch / train_scan_on_batches when net.yolo_stats:
+        # list (per yolo layer) of stat dicts (scan: arrays with leading k)
+        self.last_yolo_stats = None
 
     # -- lifecycle ------------------------------------------------------ #
 
@@ -150,9 +153,16 @@ class Session:
             sub = jax.device_put(
                 sub, NamedSharding(self.mesh, PartitionSpec())
             )
-        self.params, self.state, self.opt_state, loss = self._train_step(
+        out = self._train_step(
             self.params, self.state, self.opt_state, batch, sub
         )
+        if len(out) == 5:  # net.yolo_stats: per-yolo-layer diagnostics
+            self.params, self.state, self.opt_state, loss, ystats = out
+            self.last_yolo_stats = jax.tree.map(
+                lambda v: float(np.asarray(v)), ystats
+            )
+        else:
+            self.params, self.state, self.opt_state, loss = out
         self._step_count += 1
         return loss
 
@@ -208,7 +218,13 @@ class Session:
                 self.params, self.state, self.opt_state,
                 {"input": xs_in, "label": xs_lab}, sub,
             )
-        self.params, self.state, self.opt_state, losses = out
+        if len(out) == 5:  # net.yolo_stats: per-step stats, leading axis k
+            self.params, self.state, self.opt_state, losses, ystats = out
+            self.last_yolo_stats = jax.tree.map(
+                lambda v: np.asarray(v), ystats
+            )
+        else:
+            self.params, self.state, self.opt_state, losses = out
         self._step_count += k
         return float(jnp.sum(losses))
 

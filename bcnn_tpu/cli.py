@@ -169,6 +169,23 @@ def _dump_detections(sess: Session, x, y):
         bip.write_image(f"det_{b}.png", img)
 
 
+def _print_yolo_stats(sess: Session, k: int = 1):
+    """The reference prints one diagnostics line per yolo layer per TRAIN
+    batch (bcnn_yolo.c:408-414). k>1: stats arrive stacked per scan step."""
+    stats = sess.last_yolo_stats
+    if stats is None:
+        return
+    from .ops.yolo import format_yolo_stats
+
+    for step in range(k):
+        for layer in stats:
+            d = (
+                {kk: v[step] for kk, v in layer.items()} if k > 1 else layer
+            )
+            print(format_yolo_stats(d), file=sys.stderr)
+    sess.last_yolo_stats = None
+
+
 def train(sess: Session, param: CliParam) -> float:
     net = sess.net
     nb_iter = net.learner.max_batches
@@ -198,6 +215,7 @@ def train(sess: Session, param: CliParam) -> float:
     t0 = time.time()
     for i in range(nb_iter):
         sum_error += float(sess.train_on_batch())
+        _print_yolo_stats(sess)
         if i % param.eval_period == 0 and i > 0:
             dt = time.time() - t0
             if param.eval_test:
@@ -246,6 +264,7 @@ def _train_scan_loop(sess: Session, param: CliParam, k: int) -> float:
     i = 0
     while i < nb_iter:
         sum_error += float(sess.train_scan_on_batches(k))
+        _print_yolo_stats(sess, k)
         i += k
         if i % param.eval_period == 0 and i < nb_iter:
             dt = time.time() - t0
@@ -298,6 +317,13 @@ def main(argv=None):
     net = Net(mode)
     model_path = args.model or param.input_model
     load_net(net, args.config, model_path)
+    if mode == Mode.TRAIN:
+        from .types import LayerType
+
+        # the reference prints per-batch yolo diagnostics unconditionally
+        # during detection training (bcnn_yolo.c:408-414)
+        if any(n.type == LayerType.YOLOV3 for n in net.nodes):
+            net.yolo_stats = True
     sess = Session(net)
 
     if args.mode == "export":

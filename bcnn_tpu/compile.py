@@ -168,6 +168,9 @@ class _Executor:
         self.values: Dict[int, jax.Array] = {}
         self.surrogate = jnp.zeros((), jnp.float32)
         self.metrics = []  # per cost node reported value
+        # net.yolo_stats: per-yolo-layer per-batch training diagnostics
+        # (the reference prints them every TRAIN batch, bcnn_yolo.c:408-414)
+        self.yolo_stats = []
         # compute_dtype applies in ALL modes: convs/FC take bf16 MXU inputs
         # with fp32 accumulation and fp32 master params; the conv backward
         # runs in bf16 too via the custom VJPs in ops/conv.py. Parity tests
@@ -666,13 +669,20 @@ class _Executor:
         # perf path's activation dtype
         x = self.values[node.src[0]].astype(jnp.float32)
         label = self.values.get(1)
-        y, surrogate = yolo_ops.yolo_forward(
-            x, label, p, self.mode, self.net.batch_size
+        want_stats = (
+            self.mode == Mode.TRAIN
+            and bool(getattr(self.net, "yolo_stats", False))
+        )
+        y, aux = yolo_ops.yolo_forward(
+            x, label, p, self.mode, self.net.batch_size,
+            with_stats=want_stats,
         )
         self.values[node.dst[0]] = y
-        if surrogate is not None:
-            self.surrogate = self.surrogate + surrogate[0]
-            self.metrics.append(surrogate[1])
+        if aux is not None:
+            self.surrogate = self.surrogate + aux[0]
+            self.metrics.append(aux[1])
+            if want_stats:
+                self.yolo_stats.append(aux[2])
 
     def _reshape(self, node: Node, rng):
         raise NotImplementedError(
@@ -870,6 +880,8 @@ def make_train_step(
                 "detection training (no box transform represents it)"
             )
 
+    want_stats = bool(getattr(net, "yolo_stats", False))
+
     def loss_fn(params, state, batch, rng):
         if device_augment is not None:
             rng, akey = jax.random.split(rng)
@@ -892,7 +904,7 @@ def make_train_step(
                     ),
                 )
         ex = execute(net, params, state, batch, Mode.TRAIN, rng)
-        return ex.surrogate, (ex.state, get_loss(ex))
+        return ex.surrogate, (ex.state, get_loss(ex), ex.yolo_stats)
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())
@@ -915,24 +927,33 @@ def make_train_step(
             def body(carry, xs_m):
                 st, gsum, lsum = carry
                 micro, key = xs_m
-                (_, (st, loss)), g = grad_fn(params, st, micro, key)
+                (_, (st, loss, ystats)), g = grad_fn(params, st, micro, key)
                 gsum = jax.tree.map(jnp.add, gsum, g)
-                return (st, gsum, lsum + loss), None
+                return (st, gsum, lsum + loss), ystats
 
-            (new_state, grads, loss_sum), _ = jax.lax.scan(
+            (new_state, grads, loss_sum), ystats = jax.lax.scan(
                 body,
                 (state, zero_g, jnp.zeros((), jnp.float32)),
                 (xs, keys),
             )
             new_params, new_opt = apply_updates(net, params, grads, opt_state)
+            if want_stats:
+                # stats are batch SUMS: microbatch sums add up exactly
+                return new_params, new_state, new_opt, loss_sum, jax.tree.map(
+                    lambda s: jnp.sum(s, axis=0), ystats
+                )
             return new_params, new_state, new_opt, loss_sum
 
         return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch, rng):
-        (_, (new_state, loss)), grads = grad_fn(params, state, batch, rng)
+        (_, (new_state, loss, ystats)), grads = grad_fn(
+            params, state, batch, rng
+        )
         new_params, new_opt = apply_updates(net, params, grads, opt_state)
+        if want_stats:
+            return new_params, new_state, new_opt, loss, ystats
         return new_params, new_state, new_opt, loss
 
     return train_step
@@ -946,9 +967,11 @@ def make_train_scan(net: Net):
     scanning K steps amortizes it to one. Returns per-step losses."""
     from .learner import apply_updates
 
+    want_stats = bool(getattr(net, "yolo_stats", False))
+
     def loss_fn(params, state, batch, rng):
         ex = execute(net, params, state, batch, Mode.TRAIN, rng)
-        return ex.surrogate, (ex.state, get_loss(ex))
+        return ex.surrogate, (ex.state, get_loss(ex), ex.yolo_stats)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -957,17 +980,19 @@ def make_train_scan(net: Net):
         def body(carry, xs):
             params, state, opt_state = carry
             x, y, key = xs
-            (_, (state2, loss)), grads = grad_fn(
+            (_, (state2, loss, ystats)), grads = grad_fn(
                 params, state, {"input": x, "label": y}, key
             )
             params2, opt2 = apply_updates(net, params, grads, opt_state)
-            return (params2, state2, opt2), loss
+            return (params2, state2, opt2), (loss, ystats)
 
         keys = jax.random.split(rng, batches["input"].shape[0])
-        (params, state, opt_state), losses = jax.lax.scan(
+        (params, state, opt_state), (losses, ystats) = jax.lax.scan(
             body, (params, state, opt_state),
             (batches["input"], batches["label"], keys),
         )
+        if want_stats:  # per-step stats, leading axis K
+            return params, state, opt_state, losses, ystats
         return params, state, opt_state, losses
 
     return train_scan

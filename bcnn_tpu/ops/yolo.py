@@ -91,11 +91,19 @@ def yolo_train_deltas(
     param: Dict,
     net_w: int,
     net_h: int,
+    with_stats: bool = False,
 ) -> jax.Array:
     """y: (N,H,W,A*(5+K)) activated head output; label (N, 50*5) flat
     [x,y,w,h,class] per truth. Returns delta with dL/d(pre-activation) ==
     delta semantics (reference writes it into dst grad and backward copies
-    to src grad)."""
+    to src grad).
+
+    with_stats=True additionally returns the per-batch training
+    diagnostics the reference accumulates in its truth loop and prints
+    every batch (bcnn_yolo.c:258-264, 404-414): sums for Avg IOU / Class /
+    Obj / No Obj / .5R / .75R plus the owned-truth count — every OWNED
+    truth counts, including ones a later truth overwrites, exactly like
+    the reference's per-truth `++count`."""
     num, classes = param["num"], param["classes"]
     anchors = param["anchors"]
     mask = param["mask"]
@@ -180,7 +188,28 @@ def yolo_train_deltas(
     dh = -scale * (jnp.log(thh * net_h / ah) - cur[..., 3])
     dobj = cur[..., 4] - 1.0
     onehot = jax.nn.one_hot(tcls, classes)
-    dcls = cur[..., 5:] - onehot
+    # class-delta MERGE (delta_yolo_class, bcnn_yolo.c:187-206): when a
+    # later truth lands on an already-written slot, the reference takes the
+    # `if (delta[index])` shortcut and only sets THAT truth's class channel
+    # to out-1, keeping the earlier truth's other class deltas. The final
+    # class row at a multi-truth slot is therefore out - (multi-hot union
+    # of the slot's truth classes) — NOT the last writer's one-hot. Box and
+    # obj channels DO fully overwrite (delta_yolo_box / :371-373). Exact
+    # unless sigmoid saturates output[class 0] to exactly the written
+    # one-hot value (logit <= ~-89), where the reference would re-enter the
+    # full-write branch — _yolo_train_deltas_loop carries the bit-exact
+    # branch and test_yolo.py pins the equivalence.
+    hwa = h * w * num
+    pos = (cj * w + ci) * num + mask_n  # (N,T)
+    pos = jnp.where(owned, pos, hwa)
+    same_slot = (pos[:, :, None] == pos[:, None, :]) & owned[:, None, :]
+    multihot = jnp.minimum(
+        jnp.einsum(
+            "ntu,nuk->ntk", same_slot.astype(jnp.float32), onehot
+        ),
+        1.0,
+    )
+    dcls = cur[..., 5:] - multihot
     upd = jnp.concatenate(
         [jnp.stack([dx, dy, dw, dh, dobj], axis=-1), dcls], axis=-1
     )  # (N,T,5+K)
@@ -191,9 +220,6 @@ def yolo_train_deltas(
     # (take_along_axis(upd, winner) over all HWA slots) materializes an
     # extra head-sized (N,HWA,5+K) tensor — measured +8 ms per 256-batch
     # train step on v5e; the winners-only scatter touches 50 rows.
-    hwa = h * w * num
-    pos = (cj * w + ci) * num + mask_n  # (N,T)
-    pos = jnp.where(owned, pos, hwa)
     t_iota = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (n, T))
     winner = (
         jnp.full((n, hwa + 1), -1, jnp.int32)
@@ -219,7 +245,30 @@ def yolo_train_deltas(
     )
     # channel 4: the noobj delta everywhere a winner did not land
     ch4 = jnp.where(has_winner, scat[..., 4], delta_obj.reshape(n, hwa))
-    return scat.at[..., 4].set(ch4).reshape(n, h, w, num * e)
+    delta = scat.at[..., 4].set(ch4).reshape(n, h, w, num * e)
+    if not with_stats:
+        return delta
+    # per-batch diagnostics, accumulated per OWNED truth like the
+    # reference's loop (bcnn_yolo.c:321-398 + the avg_anyobj sweep :313)
+    px = (ci + cur[..., 0]) / w
+    py = (cj + cur[..., 1]) / h
+    pw_t = jnp.exp(cur[..., 2]) * aw / net_w
+    ph_t = jnp.exp(cur[..., 3]) * ah / net_h
+    iou_t = _box_iou((px, py, pw_t, ph_t), (txx, tyy, tww, thh))
+    ow = owned.astype(jnp.float32)
+    cat = jnp.take_along_axis(cur[..., 5:], tcls[..., None], axis=-1)[..., 0]
+    stats = {
+        "iou_sum": jnp.sum(iou_t * ow),
+        "recall50": jnp.sum((iou_t > 0.5) * ow),
+        "recall75": jnp.sum((iou_t > 0.75) * ow),
+        "obj_sum": jnp.sum(cur[..., 4] * ow),
+        "cat_sum": jnp.sum(cat * ow),
+        "count": jnp.sum(ow),
+        "anyobj_sum": jnp.sum(yr[..., 4]),
+        # static divisor w*h*num*batch (:411-412)
+        "n_slots": jnp.asarray(float(n * hwa), jnp.float32),
+    }
+    return delta, stats
 
 
 def _yolo_train_deltas_loop(
@@ -288,11 +337,17 @@ def _yolo_train_deltas_loop(
         dh = -scale * (jnp.log(thh * net_h / ah) - cur[:, 3])
         dobj = cur[:, 4] - 1.0
         onehot = jax.nn.one_hot(tcls, classes)
-        dcls = cur[:, 5:] - onehot
+        old = delta[bidx, cj, ci, mask_n]
+        # delta_yolo_class (bcnn_yolo.c:187-206), bit-exact branch: when
+        # the slot's class-0 delta is already nonzero (an earlier truth
+        # wrote here), only THIS truth's class channel is set to out-1;
+        # otherwise all class channels are written out - onehot.
+        dcls_full = cur[:, 5:] - onehot
+        dcls_merge = jnp.where(onehot > 0, cur[:, 5:] - 1.0, old[:, 5:])
+        dcls = jnp.where((old[:, 5] != 0)[:, None], dcls_merge, dcls_full)
         upd = jnp.concatenate(
             [jnp.stack([dx, dy, dw, dh, dobj], axis=1), dcls], axis=1
         )
-        old = delta[bidx, cj, ci, mask_n]
         newv = jnp.where(owned[:, None], upd, old)
         return delta.at[bidx, cj, ci, mask_n].set(newv)
 
@@ -306,23 +361,51 @@ def yolo_forward(
     param: Dict,
     mode: Mode,
     batch_size: int,
-) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
-    """Returns (activated output, (surrogate, cost) in TRAIN else None)."""
+    with_stats: bool = False,
+) -> Tuple[jax.Array, Optional[Tuple]]:
+    """Returns (activated output, aux in TRAIN else None). aux is
+    (surrogate, cost) or, with_stats, (surrogate, cost, stats dict)."""
     y = yolo_head(x, param["num"], param["classes"])
     if mode != Mode.TRAIN or label is None:
         return y, None
-    delta = jax.lax.stop_gradient(
-        yolo_train_deltas(
-            jax.lax.stop_gradient(y),
-            label,
-            param,
-            param["net_w"],
-            param["net_h"],
-        )
+    out = yolo_train_deltas(
+        jax.lax.stop_gradient(y),
+        label,
+        param,
+        param["net_w"],
+        param["net_h"],
+        with_stats=with_stats,
     )
+    delta, stats = out if with_stats else (out, None)
+    delta = jax.lax.stop_gradient(delta)
     surrogate = jnp.sum(delta * x)
     cost = jnp.sum(jnp.square(delta))
+    if with_stats:
+        stats = jax.lax.stop_gradient(dict(stats, cost=cost))
+        return y, (surrogate, cost, stats)
     return y, (surrogate, cost)
+
+
+def format_yolo_stats(stats: Dict) -> str:
+    """The reference's per-batch stderr line, byte-for-byte
+    (bcnn_yolo.c:408-414): means over the owned-truth count (0/0 -> nan,
+    like the C float division), No Obj over every (cell, anchor) slot."""
+    cnt = float(stats["count"])
+    div = (lambda s: float(s) / cnt) if cnt else (lambda s: float("nan"))
+    return (
+        "Yolo Avg IOU: %f Class: %f Obj: %f No Obj: %f .5R: %f, "
+        ".75R: %f num_boxes: %d cost: %f"
+        % (
+            div(stats["iou_sum"]),
+            div(stats["cat_sum"]),
+            div(stats["obj_sum"]),
+            float(stats["anyobj_sum"]) / float(stats["n_slots"]),
+            div(stats["recall50"]),
+            div(stats["recall75"]),
+            int(cnt),
+            float(stats["cost"]),
+        )
+    )
 
 
 # ------------------------------------------------------------------------ #
@@ -368,15 +451,19 @@ def decode_layer(
             m = param["mask"][a]
             bx = (col + float(yr[row, col, a, 0])) / w
             by = (row + float(yr[row, col, a, 1])) / h
-            bw = (
-                float(np.exp(yr[row, col, a, 2])) * param["anchors"][2 * m]
-                / net_w
-            )
-            bh = (
-                float(np.exp(yr[row, col, a, 3]))
-                * param["anchors"][2 * m + 1]
-                / net_h
-            )
+            # expf overflow -> inf silently, like the reference's C math
+            # (no RuntimeWarning noise on pathological tw/th)
+            with np.errstate(over="ignore"):
+                bw = (
+                    float(np.exp(yr[row, col, a, 2]))
+                    * param["anchors"][2 * m]
+                    / net_w
+                )
+                bh = (
+                    float(np.exp(yr[row, col, a, 3]))
+                    * param["anchors"][2 * m + 1]
+                    / net_h
+                )
             probs = obj * np.asarray(yr[row, col, a, 5:])
             probs = np.where(probs > thresh, probs, 0.0)
             dets.append(

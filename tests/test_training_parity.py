@@ -124,6 +124,18 @@ def parse_train_errors(text):
     ]
 
 
+def parse_yolo_stats(text):
+    """Per-batch 'Yolo Avg IOU: ...' diagnostic lines (bcnn_yolo.c:408-414)
+    -> array rows [iou, class, obj, noobj, r50, r75, nboxes, cost]."""
+    pat = (
+        r"Yolo Avg IOU: (\S+) Class: (\S+) Obj: (\S+) No Obj: (\S+) "
+        r"\.5R: (\S+), \.75R: (\S+) num_boxes: (\S+) cost: (\S+)"
+    )
+    return np.array(
+        [[float(v) for v in m] for m in re.findall(pat, text)]
+    )
+
+
 def _run_both(ref_cl, tmp_path, conf_text):
     img, lbl = write_mnist_files(tmp_path)
 
@@ -248,11 +260,15 @@ dst=head
 [yolo]
 classes=2
 num=6
-mask=3,4,5
+mask=0,1,2
 anchors=10,14,23,27,37,58,81,82,135,169,344,319
 src=head
 dst=out
 """
+# mask=0,1,2: the 0.2-0.4-relative truths at net 64 best-match the small
+# anchors, so the truth pass actually fires (owned boxes -> box/class
+# deltas AND informative per-batch stats; mask=3,4,5 would leave
+# num_boxes==0 and test only the noobj path)
 
 
 def write_detection_set(tmp_path, n=16, size=64, seed=0):
@@ -341,6 +357,28 @@ def test_yolo_training_trajectory_matches_reference(ref_cl, tmp_path):
         mine_e, ref_e, rtol=2e-2,
         err_msg=f"yolo trajectories diverged: {mine_e} vs {ref_e}",
     )
+
+    # per-batch training diagnostics parity: the reference prints one
+    # 'Yolo Avg IOU ...' line per yolo layer per batch (bcnn_yolo.c:408-414);
+    # ours must match value-for-value on the identical trajectory
+    ref_s = parse_yolo_stats(r.stderr)
+    mine_s = parse_yolo_stats(buf.getvalue())
+    assert len(ref_s) >= 20, "expected per-batch yolo stats from reference"
+    assert mine_s.shape == ref_s.shape, (mine_s.shape, ref_s.shape)
+    assert ref_s[:, 6].max() > 0, "no owned truths: stats not informative"
+    # compare the first steps exactly (identical weights) and the rest with
+    # drift tolerance; nan (count==0 batches) must agree in position
+    assert (np.isnan(ref_s) == np.isnan(mine_s)).all()
+    m = ~np.isnan(ref_s)
+    np.testing.assert_allclose(
+        mine_s[:2][m[:2]], ref_s[:2][m[:2]], rtol=1e-4, atol=1e-5,
+        err_msg="early yolo stats must match",
+    )
+    np.testing.assert_allclose(
+        mine_s[m], ref_s[m], rtol=3e-2, atol=3e-2,
+        err_msg="yolo stats diverged over the trajectory",
+    )
+    np.testing.assert_array_equal(mine_s[:, 6], ref_s[:, 6])
 
 
 def test_adam_training_trajectory_matches_reference(ref_cl, tmp_path):

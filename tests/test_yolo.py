@@ -84,10 +84,16 @@ def reference_deltas(y, label, anchors, mask, total, classes, net_w, net_h):
             delta[b, j, i, a, 3] = -scale * (th - y[b, j, i, a, 3])
             delta[b, j, i, a, 4] = y[b, j, i, a, 4] - 1
             cls = int(tr[4])
-            for k in range(classes):
-                delta[b, j, i, a, 5 + k] = y[b, j, i, a, 5 + k] - (
-                    1 if k == cls else 0
-                )
+            # delta_yolo_class (bcnn_yolo.c:187-206): if the slot's class-0
+            # delta is already nonzero (earlier truth wrote here), only the
+            # truth's own class channel is set — class deltas MERGE
+            if delta[b, j, i, a, 5] != 0:
+                delta[b, j, i, a, 5 + cls] = y[b, j, i, a, 5 + cls] - 1
+            else:
+                for k in range(classes):
+                    delta[b, j, i, a, 5 + k] = y[b, j, i, a, 5 + k] - (
+                        1 if k == cls else 0
+                    )
     return delta
 
 
@@ -181,6 +187,104 @@ def test_yolo_one_pass_deltas_equal_loop():
             )
         )
         np.testing.assert_allclose(one, loop, rtol=1e-5, atol=1e-6)
+
+
+def test_yolo_shared_slot_class_deltas_merge():
+    """Two truths of different classes on the SAME (cell, anchor) slot:
+    the reference's delta_yolo_class takes the `if (delta[index])` branch
+    for the second truth, leaving the first truth's class deltas in place
+    and setting only the second's channel to out-1 — the final class row
+    is out - multihot, not the last writer's one-hot. Both formulations
+    and the numpy oracle must agree."""
+    p = make_param(num=3, classes=4, total=6)
+    p["mask"] = [0, 1, 2]  # own the small anchors so 0.3-boxes match
+    rng = np.random.RandomState(11)
+    n, h, w = 2, 6, 6
+    x = rng.randn(n, h, w, p["num"] * 9).astype(np.float32)
+    y = Y.yolo_head(jnp.asarray(x), p["num"], p["classes"])
+    label = np.zeros((n, DETECTION_MAX_BOXES * 5), np.float32)
+    # same cell (0.52, 0.52), same shape -> same best anchor, classes 2, 1
+    label[0, 0:5] = [0.52, 0.52, 0.08, 0.08, 2]
+    label[0, 5:10] = [0.53, 0.51, 0.08, 0.08, 1]
+    # and a third truth stacked on the same slot, class 0
+    label[0, 10:15] = [0.51, 0.53, 0.08, 0.08, 0]
+    yn = np.asarray(y)
+    want = reference_deltas(
+        yn.reshape(n, h, w, p["num"], 9), label, p["anchors"], p["mask"],
+        p["total"], p["classes"], p["net_w"], p["net_h"],
+    )
+    for fn in (Y.yolo_train_deltas, Y._yolo_train_deltas_loop):
+        got = np.asarray(
+            fn(y, jnp.asarray(label), p, p["net_w"], p["net_h"])
+        ).reshape(n, h, w, p["num"], 9)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+    # the slot's class row must differ from a pure last-writer overwrite:
+    # channels of classes 2 AND 1 AND 0 all carry out-1
+    cj, ci = int(0.52 * h), int(0.52 * w)
+    a = int(np.argmax(np.abs(want[0, cj, ci, :, 0])))
+    row = want[0, cj, ci, a, 5:]
+    yrow = yn.reshape(n, h, w, p["num"], 9)[0, cj, ci, a, 5:]
+    np.testing.assert_allclose(row[:3], yrow[:3] - 1, atol=2e-4)
+    np.testing.assert_allclose(row[3], yrow[3], atol=2e-4)
+
+
+def test_yolo_train_stats_match_oracle():
+    """with_stats sums must equal a direct numpy accumulation of the
+    reference's counters (bcnn_yolo.c:258-264, 313, 373-398)."""
+    p = make_param(num=3, classes=4, total=6)
+    p["mask"] = [0, 1, 2]
+    rng = np.random.RandomState(3)
+    n, h, w = 3, 6, 6
+    x = rng.randn(n, h, w, p["num"] * 9).astype(np.float32)
+    y = Y.yolo_head(jnp.asarray(x), p["num"], p["classes"])
+    label = np.zeros((n, DETECTION_MAX_BOXES * 5), np.float32)
+    label[0, 0:5] = [0.3, 0.4, 0.1, 0.12, 2]
+    label[0, 5:10] = [0.7, 0.6, 0.3, 0.3, 1]
+    label[1, 0:5] = [0.5, 0.5, 0.09, 0.1, 3]
+    _, stats = Y.yolo_train_deltas(
+        y, jnp.asarray(label), p, p["net_w"], p["net_h"], with_stats=True
+    )
+    yn = np.asarray(y).reshape(n, h, w, p["num"], 9)
+    iou_sum = obj_sum = cat_sum = r50 = r75 = cnt = 0.0
+    lab = label.reshape(n, DETECTION_MAX_BOXES, 5)
+    for b in range(n):
+        for t in range(DETECTION_MAX_BOXES):
+            tr = lab[b, t]
+            if tr[0] == 0:
+                break
+            best_iou, best_n = 0.0, 0
+            for a_ in range(p["total"]):
+                pw = p["anchors"][2 * a_] / p["net_w"]
+                ph = p["anchors"][2 * a_ + 1] / p["net_h"]
+                iou = np_iou((0, 0, pw, ph), (0, 0, tr[2], tr[3]))
+                if iou > best_iou:
+                    best_iou, best_n = iou, a_
+            if best_n not in p["mask"]:
+                continue
+            a = p["mask"].index(best_n)
+            i, j = int(tr[0] * w), int(tr[1] * h)
+            px = (i + yn[b, j, i, a, 0]) / w
+            py = (j + yn[b, j, i, a, 1]) / h
+            pw = np.exp(yn[b, j, i, a, 2]) * p["anchors"][2 * best_n] / p["net_w"]
+            ph = np.exp(yn[b, j, i, a, 3]) * p["anchors"][2 * best_n + 1] / p["net_h"]
+            iou = np_iou((px, py, pw, ph), tr[:4])
+            iou_sum += iou
+            r50 += iou > 0.5
+            r75 += iou > 0.75
+            obj_sum += yn[b, j, i, a, 4]
+            cat_sum += yn[b, j, i, a, 5 + int(tr[4])]
+            cnt += 1
+    assert cnt > 0
+    np.testing.assert_allclose(float(stats["count"]), cnt)
+    np.testing.assert_allclose(float(stats["iou_sum"]), iou_sum, rtol=1e-4)
+    np.testing.assert_allclose(float(stats["obj_sum"]), obj_sum, rtol=1e-5)
+    np.testing.assert_allclose(float(stats["cat_sum"]), cat_sum, rtol=1e-5)
+    np.testing.assert_allclose(float(stats["recall50"]), r50)
+    np.testing.assert_allclose(float(stats["recall75"]), r75)
+    np.testing.assert_allclose(
+        float(stats["anyobj_sum"]), yn[..., 4].sum(), rtol=1e-5
+    )
+    assert float(stats["n_slots"]) == n * h * w * p["num"]
 
 
 def test_yolo_surrogate_grad_equals_delta():
