@@ -358,6 +358,16 @@ def main(argv=None):
     else:
         err = predict(sess, param)
         print(f"Average error= {err:f}", file=sys.stderr)
+        if (
+            args.mode == "valid"
+            and param.data_format == LoaderType.DETECTION_LIST
+        ):
+            # beyond bcnn-cl: detection quality, not just the delta-norm
+            # loss — mAP over the same num_pred images (metrics_det.py)
+            from .metrics_det import format_map, map_eval
+
+            res = map_eval(sess, num_images=param.num_pred)
+            print(format_map(res), file=sys.stderr)
     return 0
 
 
