@@ -17,6 +17,10 @@ from .ops import (
     add_random_spotlights,
     load_image,
     perlin_distortion,
+    status_string,
+    write_double_image,
+    write_float_image,
+    write_float_image_norm,
     write_image,
 )
 from . import native as _native

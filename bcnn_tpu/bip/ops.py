@@ -589,3 +589,46 @@ def write_float_image(path: str, img: np.ndarray,
         f = (f - lo) / (hi - lo) * 255.0 if hi > lo else f * 0
     u8 = np.clip(f, 0, 255).astype(np.uint8)
     write_image(path, u8)
+
+
+def write_float_image_norm(path: str, img: np.ndarray) -> None:
+    """bip_write_float_image_norm (bip.c:1923-1962), quirks kept: the
+    min/max scan covers only the FIRST src_width interleaved elements of
+    each row (x < src_width, not src_width*depth — channels >0 of wide
+    rows never enter the range), then every element is mapped with
+    clamp(norm * (src - min), 0, 255); a flat range writes all black."""
+    f = np.atleast_3d(np.asarray(img, np.float32))
+    h, w, _d = f.shape
+    flat = f.reshape(h, -1)
+    head = flat[:, :w]  # the reference's per-row x < src_width scan
+    lo, hi = float(head.min()), float(head.max())
+    norm = 255.0 / (hi - lo) if hi - lo > 0 else 0.0
+    u8 = np.clip(norm * (flat - lo), 0, 255).astype(np.uint8)
+    write_image(path, u8.reshape(f.shape).squeeze())
+
+
+def write_double_image(path: str, img: np.ndarray) -> None:
+    """bip_write_double_image (bip.c:1964-1989), quirk kept: the write
+    loop covers only the FIRST src_width elements of each interleaved
+    row (x < src_width, unlike the float variant's src_width*depth), so
+    for depth>1 the right (depth-1)/depth of every row stays at the
+    calloc zeros. Values map as clamp(255*src, 0, 255) — float math on
+    the double input, like the C expression 255.0f * src[x]."""
+    f = np.atleast_3d(np.asarray(img, np.float64))
+    h, w, _d = f.shape
+    flat = f.reshape(h, -1)
+    u8 = np.zeros_like(flat, np.uint8)
+    u8[:, :w] = np.clip(
+        255.0 * flat[:, :w].astype(np.float32), 0, 255
+    ).astype(np.uint8)
+    write_image(path, u8.reshape(f.shape).squeeze())
+
+
+def status_string(status) -> str:
+    """bip_status_string (bip.c:1818-1833)."""
+    return {
+        0: "Success",
+        1: "Invalid pointer",
+        2: "Invalid parameter size",
+        3: "Invalid parameter",
+    }.get(int(status), "Unknown error")

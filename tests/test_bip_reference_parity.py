@@ -193,3 +193,83 @@ def test_gaussian_blur_3x3(bip, c):
         C.c_size_t(12 * c), u8p(dst), C.c_size_t(12 * c),
     )
     np.testing.assert_array_equal(ops.gaussian_blur_3x3(img), dst)
+
+
+# ---------------------------------------------------------------------- #
+# stb-backed IO tail (round 4): bip_status_string, write_float_image_norm,
+# write_double_image — compiled with BIP_USE_STB_IMAGE so the reference's
+# own PNG writer runs, then both PNGs are decoded and compared pixelwise.
+# ---------------------------------------------------------------------- #
+
+STB_SHIM = "/tmp/libbip_stb_shim.so"
+
+
+@pytest.fixture(scope="module")
+def bip_stb():
+    if not os.path.exists(STB_SHIM):
+        try:
+            subprocess.run(
+                [
+                    "cc", "-O2", "-fPIC", "-shared",
+                    "-include", "math.h", "-include", "stdio.h",
+                    "-include", "stdlib.h",
+                    "-DBIP_USE_STB_IMAGE",
+                    f"{REF}/src/bip/src/bip.c",
+                    f"-I{REF}/src/bip/inc", f"-I{REF}/src/bh/inc",
+                    f"-I{REF}/src/bip/thirdparty",
+                    "-o", STB_SHIM, "-lm",
+                ],
+                check=True, capture_output=True,
+            )
+        except subprocess.CalledProcessError as e:
+            pytest.skip(f"bip stb shim build failed: {e.stderr[-500:]}")
+    return C.CDLL(STB_SHIM)
+
+
+def test_status_string(bip):
+    bip.bip_status_string.restype = C.c_char_p
+    for code in range(6):
+        assert (
+            ops.status_string(code)
+            == bip.bip_status_string(code).decode()
+        )
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_write_float_image_norm(bip_stb, tmp_path, c):
+    rng = np.random.RandomState(20 + c)
+    img = np.ascontiguousarray(
+        (rng.rand(9, 11, c) * 5 - 2).astype(np.float32)
+    )
+    ref_png = str(tmp_path / "ref.png").encode()
+    bip_stb.bip_write_float_image_norm(
+        C.c_char_p(ref_png),
+        img.ctypes.data_as(C.POINTER(C.c_float)),
+        C.c_int32(11), C.c_int32(9), C.c_int32(c),
+        C.c_int32(11 * c * 4),
+    )
+    mine = tmp_path / "mine.png"
+    ops.write_float_image_norm(str(mine), img.squeeze())
+    np.testing.assert_array_equal(
+        np.atleast_3d(ops.load_image(str(mine))),
+        np.atleast_3d(ops.load_image(ref_png.decode())),
+    )
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_write_double_image(bip_stb, tmp_path, c):
+    rng = np.random.RandomState(30 + c)
+    img = np.ascontiguousarray(rng.rand(7, 10, c) * 1.4 - 0.2)
+    ref_png = str(tmp_path / "ref.png").encode()
+    bip_stb.bip_write_double_image(
+        C.c_char_p(ref_png),
+        img.ctypes.data_as(C.POINTER(C.c_double)),
+        C.c_int32(10), C.c_int32(7), C.c_int32(c),
+        C.c_int32(10 * c * 8),
+    )
+    mine = tmp_path / "mine.png"
+    ops.write_double_image(str(mine), img.squeeze())
+    np.testing.assert_array_equal(
+        np.atleast_3d(ops.load_image(str(mine))),
+        np.atleast_3d(ops.load_image(ref_png.decode())),
+    )
