@@ -192,7 +192,11 @@ src=c
 @pytest.mark.parametrize(
     "seed,depth",
     [(1, 6), (2, 6), (3, 6), (4, 6), (5, 6), (8, 6), (10, 6),  # 8,10: upsample
-     (21, 10), (22, 10)],  # deeper stacks: longer quirk compositions
+     (21, 10), (22, 10),  # deeper stacks: longer quirk compositions
+     # round 4: widened sweep (VERDICT r3 #6 — >=25 dialect-fuzz seeds
+     # together with test_config_fuzz_parity.py's darknet-dialect set)
+     (31, 8), (32, 8), (33, 8), (34, 8), (35, 8), (36, 10), (37, 10),
+     (38, 12), (39, 12), (40, 12)],
 )
 def test_random_graph_forward_parity(harness, tmp_path, seed, depth):
     rng = np.random.RandomState(seed)
