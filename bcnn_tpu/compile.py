@@ -321,6 +321,9 @@ class _Executor:
                 self.state[var_k],
                 training=training,
                 folded=self.net.bn_folded and self.mode == Mode.PREDICT,
+                frozen_stats=bool(
+                    getattr(self.net, "bn_frozen_stats", False)
+                ),
             )
             if training:
                 self.state[mean_k] = nm
@@ -564,6 +567,7 @@ class _Executor:
             self.state[var_k],
             training=training,
             folded=self.net.bn_folded and self.mode == Mode.PREDICT,
+            frozen_stats=bool(getattr(self.net, "bn_frozen_stats", False)),
         )
         if training:
             self.state[mean_k] = nm

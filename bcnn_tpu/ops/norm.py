@@ -85,8 +85,21 @@ def batch_norm(
     run_var: jax.Array,
     training: bool,
     folded: bool = False,
+    frozen_stats: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """x: NHWC. Returns (y, new_run_mean, new_run_var)."""
+    """x: NHWC. Returns (y, new_run_mean, new_run_var).
+
+    frozen_stats (net.bn_frozen_stats): TRAIN normalizes with the
+    step-start RUNNING stats as constants (no sample coupling through
+    mean/var, no d(stats)/dx terms) while still updating the running
+    EMAs from the batch stats. This is the standard "frozen BN"
+    semantics (fine-tuning / ghost-batch-free), and it is what makes
+    microbatched pipeline parallelism EXACT: per-sample independence
+    means k microbatches reproduce the full batch bit-for-bit
+    (parallel/pipeline.py, test_pipeline.py). Deviation from the
+    reference's per-batch-stats BN is deliberate and opt-in; running
+    stats must be warm (e.g. run_var=1 init or a few unfrozen steps) or
+    the 1/sqrt(var+eps) blows up."""
     if folded and not training:
         return x * scales + biases, run_mean, run_var
     if training:
@@ -94,7 +107,12 @@ def batch_norm(
         var = jnp.mean(jnp.square(x), axis=(0, 1, 2)) - jnp.square(mean)
         new_mean = RUN_MOMENTUM * run_mean + (1.0 - RUN_MOMENTUM) * mean
         new_var = RUN_MOMENTUM * run_var + (1.0 - RUN_MOMENTUM) * var
-        y = _bn_train_ref(x, scales, biases)
+        if frozen_stats:
+            rm = jax.lax.stop_gradient(run_mean)
+            rv = jax.lax.stop_gradient(run_var)
+            y = (x - rm) * jax.lax.rsqrt(rv + EPS) * scales + biases
+        else:
+            y = _bn_train_ref(x, scales, biases)
         return y, jax.lax.stop_gradient(new_mean), jax.lax.stop_gradient(
             new_var
         )

@@ -30,10 +30,19 @@ Exactness notes (test-pinned in tests/test_pipeline.py):
     same BN batch stats, same grad routing — cross-stage routing taps are
     forwarded as extra boundary values);
   - n_microbatches>1 matches single-device exactly for nets without
-    batch-coupled ops; training-mode BN computes per-MICROBATCH batch
-    stats and dropout draws per-microbatch masks (the standard GPipe
-    semantics), so those nets diverge from full-batch numerics while
-    remaining valid training programs.
+    batch-coupled ops (grads are batch SUMS);
+  - n_microbatches>1 WITH BN is exactly the single-device
+    gradient-accumulation program `make_train_step(accum_steps=k)`:
+    per-microbatch BN batch stats, identical fold_in(rng, m) keys,
+    summed gradients, one update (test_pp_microbatched_bn_matches_
+    accumulation_step) — i.e. PP's semantics on BN nets IS accumulation
+    semantics, pinned against a runnable single-device program;
+  - for full per-sample independence (no stats coupling at all) set
+    `net.bn_frozen_stats` (ops/norm.py): BN normalizes with step-start
+    running stats as constants while still updating the running EMAs —
+    microbatched PP then matches the equivalent single-device program
+    tightly AND the conv+BN net demonstrably converges
+    (test_pp_microbatched_bn_frozen_stats_exact / _bn_net_converges).
 """
 
 from __future__ import annotations
