@@ -15,7 +15,6 @@ File IO uses Pillow instead of the vendored stb_image.
 
 from .ops import (
     add_random_spotlights,
-    load_image,
     perlin_distortion,
     status_string,
     write_double_image,
@@ -25,6 +24,18 @@ from .ops import (
 )
 from . import native as _native
 from . import ops as _ops
+
+if _native.available() and _native.decode_available():
+    # native JPEG/PNG decode (native/decode.cpp, system libjpeg/libpng) —
+    # the stb_image decode-at-train-time analogue (bip.c:1837). PIL covers
+    # formats outside the native codecs (bmp/gif/...).
+    def load_image(path: str):
+        try:
+            return _native.load_image(path)
+        except ValueError:
+            return _ops.load_image(path)
+else:  # pragma: no cover - exercised when codecs are missing
+    load_image = _ops.load_image
 
 if _native.available():
     crop_image = _native.crop_image

@@ -91,6 +91,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _f32p,
         ]
         lib.bcnn_loader_records_batch.restype = _i
+    if hasattr(lib, "bcnn_decode_image"):  # absent without libjpeg/libpng
+        _ip = ctypes.POINTER(ctypes.c_int)
+        lib.bcnn_decode_image.argtypes = [
+            _u8p, ctypes.c_long, _u8p, ctypes.c_long, _ip, _ip, _ip,
+        ]
+        lib.bcnn_decode_image.restype = _i
+        _lp2 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.bcnn_decode_batch.argtypes = [
+            _u8p, _lp2, _lp2, _i, _u8p, _lp2, _lp2,
+            _i32p, _i32p, _i32p, _i32p,
+        ]
+        lib.bcnn_decode_batch.restype = _i
     _LIB = lib
     return _LIB
 
@@ -191,3 +204,84 @@ def batch_convert_to_float(
         int(swap_to_bgr), m, out,
     )
     return out
+
+
+# --------------------------------------------------------------------- #
+# JPEG/PNG decode (native/decode.cpp, system libjpeg/libpng)
+# --------------------------------------------------------------------- #
+
+_DECODE_DUMMY = np.zeros(1, np.uint8)
+
+
+def decode_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "bcnn_decode_image")
+
+
+def decode_image_bytes(data) -> np.ndarray:
+    """Decode an in-memory JPEG/PNG blob -> HWC uint8 (grayscale stays
+    1 channel, like ops.load_image). Raises ValueError on anything the
+    native codecs don't cover (caller falls back to PIL)."""
+    lib = get_lib()
+    buf = np.frombuffer(data, np.uint8) if not isinstance(
+        data, np.ndarray
+    ) else data
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    r = lib.bcnn_decode_image(
+        buf, len(buf), _DECODE_DUMMY, 0,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+    )
+    if r == -1:
+        raise ValueError("unsupported or corrupt image")
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    r = lib.bcnn_decode_image(
+        buf, len(buf), out, out.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+    )
+    if r != 0:
+        raise ValueError("image decode failed")
+    return out
+
+
+def load_image(path: str) -> np.ndarray:
+    """bip_load_image via the native codecs (decode.cpp)."""
+    with open(path, "rb") as f:
+        return decode_image_bytes(f.read())
+
+
+def decode_batch(blobs) -> list:
+    """Decode a list of in-memory JPEG/PNG blobs OpenMP-parallel.
+    Returns a list of HWC uint8 arrays; raises ValueError if any blob
+    fails (statuses inspected for the message)."""
+    lib = get_lib()
+    n = len(blobs)
+    data = np.frombuffer(b"".join(blobs), np.uint8)
+    sizes = np.asarray([len(b) for b in blobs], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    cs = np.zeros(n, np.int32)
+    status = np.zeros(n, np.int32)
+    # probe pass (cap 0) to learn dims, then one parallel decode pass
+    caps0 = np.zeros(n, np.int64)
+    out0 = np.zeros(1, np.uint8)
+    lib.bcnn_decode_batch(
+        data, offsets, sizes, n, out0, caps0, caps0, ws, hs, cs, status
+    )
+    if (status == -1).any():
+        raise ValueError(f"undecodable blobs at {np.nonzero(status == -1)[0]}")
+    caps = (ws.astype(np.int64) * hs * cs)
+    out_offsets = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.int64)
+    outs = np.empty(int(caps.sum()), np.uint8)
+    r = lib.bcnn_decode_batch(
+        data, offsets, sizes, n, outs, out_offsets, caps, ws, hs, cs,
+        status,
+    )
+    if r != 0:
+        raise ValueError(f"decode failed at {np.nonzero(status != 0)[0]}")
+    return [
+        outs[o:o + k].reshape(hs[i], ws[i], cs[i])
+        for i, (o, k) in enumerate(zip(out_offsets, caps))
+    ]

@@ -148,3 +148,101 @@ def test_native_loader_is_actually_used(tmp_path, monkeypatch):
     ld = MnistLoader(make_net(batch=4), pimg, plbl)
     ld.next_batch()
     assert called.get("yes")
+
+
+# --------------------------------------------------------------------- #
+# Native JPEG/PNG decode (native/decode.cpp, round 4 — VERDICT r3 #7)
+# --------------------------------------------------------------------- #
+
+
+def _codecs_available():
+    from bcnn_tpu.bip import native
+
+    return native.available() and native.decode_available()
+
+
+@pytest.mark.skipif(
+    not _codecs_available(), reason="libjpeg/libpng codecs unavailable"
+)
+class TestNativeDecode:
+    def _save(self, tmp_path, img, name, **kw):
+        from PIL import Image
+
+        p = str(tmp_path / name)
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}[
+            img.shape[2] if img.ndim == 3 else 1
+        ]
+        Image.fromarray(img.squeeze(), mode).save(p, **kw)
+        return p
+
+    def test_png_bit_identical_to_pil(self, tmp_path):
+        from bcnn_tpu.bip import native, ops
+
+        rng = np.random.RandomState(0)
+        img = (rng.rand(41, 57, 3) * 255).astype(np.uint8)
+        p = self._save(tmp_path, img, "a.png")
+        np.testing.assert_array_equal(
+            native.load_image(p), ops.load_image(p)
+        )
+
+    def test_jpeg_matches_pil(self, tmp_path):
+        # both wrap the same system/vendored libjpeg-turbo; exact on this
+        # image, tolerance 1 guards alternative IDCTs
+        from bcnn_tpu.bip import native, ops
+
+        rng = np.random.RandomState(1)
+        img = (rng.rand(64, 48, 3) * 255).astype(np.uint8)
+        p = self._save(tmp_path, img, "a.jpg", quality=90)
+        a = native.load_image(p).astype(int)
+        b = ops.load_image(p).astype(int)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() <= 1
+
+    def test_gray_stays_single_channel(self, tmp_path):
+        from bcnn_tpu.bip import native, ops
+
+        img = (np.random.RandomState(2).rand(30, 20) * 255).astype(np.uint8)
+        p = self._save(tmp_path, img, "g.png")
+        a = native.load_image(p)
+        assert a.shape == (30, 20, 1)
+        np.testing.assert_array_equal(a, ops.load_image(p))
+
+    def test_rgba_drops_alpha_like_pil_convert(self, tmp_path):
+        from bcnn_tpu.bip import native, ops
+
+        rng = np.random.RandomState(3)
+        img = (rng.rand(22, 26, 4) * 255).astype(np.uint8)
+        p = self._save(tmp_path, img, "r.png")
+        a = native.load_image(p)
+        assert a.shape == (22, 26, 3)
+        np.testing.assert_array_equal(a, ops.load_image(p))
+
+    def test_unsupported_format_falls_back_to_pil(self, tmp_path):
+        from bcnn_tpu import bip
+
+        img = (np.random.RandomState(4).rand(10, 12, 3) * 255).astype(
+            np.uint8
+        )
+        p = self._save(tmp_path, img, "b.bmp")
+        np.testing.assert_array_equal(bip.load_image(p), img)
+
+    def test_batch_decode_matches_single(self, tmp_path):
+        from bcnn_tpu.bip import native
+
+        rng = np.random.RandomState(5)
+        paths = []
+        for i, (h, w) in enumerate([(33, 44), (20, 20), (50, 10)]):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            paths.append(self._save(tmp_path, img, f"m{i}.png"))
+        blobs = [open(p, "rb").read() for p in paths]
+        outs = native.decode_batch(blobs)
+        for p, o in zip(paths, outs):
+            np.testing.assert_array_equal(o, native.load_image(p))
+
+    def test_corrupt_blob_raises(self):
+        from bcnn_tpu.bip import native
+
+        with pytest.raises(ValueError):
+            native.decode_image_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+        with pytest.raises(ValueError):
+            native.decode_image_bytes(b"garbage")
