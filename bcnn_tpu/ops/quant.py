@@ -87,6 +87,46 @@ def watch_tensors(net) -> List[int]:
     return sorted(set(watch))
 
 
+def _kl_threshold(hist: np.ndarray, n_quant: int = 128) -> int:
+    """TensorRT-style entropy calibration over a |x| histogram: choose
+    the clip bin i (>= n_quant) minimizing KL(P_clip || Q_i), where
+    P_clip folds the tail into the last kept bin and Q_i is the kept
+    range re-expressed with n_quant levels (each level's mass spread
+    uniformly over its nonzero source bins). Returns the bin index
+    (exclusive upper edge of the kept range)."""
+    n_bins = len(hist)
+    total = hist.sum()
+    if total == 0:
+        return n_bins
+    best_i, best_kl = n_bins, np.inf
+    for i in range(n_quant, n_bins + 1):
+        ref = hist[:i].astype(np.float64).copy()
+        ref[i - 1] += hist[i:].sum()  # clip: outliers saturate
+        p = ref / ref.sum()
+        # merge the i kept bins into n_quant levels
+        kept = hist[:i].astype(np.float64)
+        edges = (np.arange(n_quant + 1) * i) // n_quant
+        q = np.zeros(i, np.float64)
+        for lv in range(n_quant):
+            lo, hi = edges[lv], edges[lv + 1]
+            seg = kept[lo:hi]
+            nz = seg > 0
+            if nz.any():
+                q[lo:hi][nz] = seg.sum() / nz.sum()
+        qs = q.sum()
+        if qs == 0:
+            continue
+        q /= qs
+        m = (p > 0) & (q > 0)
+        kl = float(np.sum(p[m] * np.log(p[m] / q[m])))
+        # bins where p>0 but q==0 contribute +inf; penalize by skipping
+        if ((p > 0) & (q == 0)).any():
+            continue
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return best_i
+
+
 def calibrate(
     net,
     params,
@@ -94,6 +134,7 @@ def calibrate(
     batches: List[np.ndarray],
     method: str = "absmax",
     percentile: float = 99.9,
+    kl_bins: int = 2048,
 ) -> Dict[int, float]:
     """Observe the conv/fc (and joiner) input tensors over calibration
     batches; returns {src_tensor_index: activation_scale}.
@@ -104,22 +145,59 @@ def calibrate(
         bulk of the distribution);
       - "percentile": scale = P(|x|, percentile) / 127, aggregated by max
         over batches — the standard outlier-robust calibrator; values
-        past the percentile saturate at ±127.
-    The PTQ accuracy studies (tests/test_quant_accuracy.py) compare both
-    per architecture; absmax stays the default because the studied nets
-    show no outlier pathology (BENCHMARKS.md)."""
+        past the percentile saturate at ±127;
+      - "kl": TensorRT-style entropy calibration — accumulate a
+        kl_bins histogram of |x| over all batches (range fixed by a
+        first abs-max pass), pick the clip threshold minimizing
+        KL(clipped || int8-quantized); scale = threshold / 127. Best
+        when the distribution has a long informative tail that percentile
+        would clip too aggressively or absmax would over-cover.
+    The PTQ accuracy studies (tests/test_quant_accuracy.py) compare all
+    three per architecture; absmax stays the default because the studied
+    nets show no outlier pathology (BENCHMARKS.md)."""
     from ..compile import execute
 
     watch = watch_tensors(net)
 
-    if method not in ("absmax", "percentile"):
+    if method not in ("absmax", "percentile", "kl"):
         raise ValueError(f"unknown calibration method: {method!r}")
-    amax = {i: 0.0 for i in watch}
-    for x in batches:
-        ex = execute(
+
+    def run(x):
+        return execute(
             net, params, state,
             {"input": jnp.asarray(x, jnp.float32)}, Mode.PREDICT, None,
         )
+
+    if method == "kl":
+        # pass 1: global |x| range per watched tensor
+        amax = {i: 0.0 for i in watch}
+        for x in batches:
+            ex = run(x)
+            for i in watch:
+                amax[i] = max(amax[i], float(jnp.max(jnp.abs(ex.values[i]))))
+        # pass 2: histogram accumulation
+        hists = {i: np.zeros(kl_bins, np.int64) for i in watch}
+        for x in batches:
+            ex = run(x)
+            for i in watch:
+                if amax[i] <= 0:
+                    continue
+                v = np.asarray(jnp.abs(ex.values[i]), np.float32).ravel()
+                h, _ = np.histogram(v, bins=kl_bins, range=(0.0, amax[i]))
+                hists[i] += h
+        scales = {}
+        for i in watch:
+            if amax[i] <= 0:
+                scales[i] = 1.0
+                continue
+            cut = _kl_threshold(hists[i])
+            thresh = (cut + 0.5) * (amax[i] / kl_bins)
+            scales[i] = min(thresh, amax[i]) / 127.0
+        return scales
+
+    amax = {i: 0.0 for i in watch}
+    for x in batches:
+        ex = run(x)
         for i in watch:
             v = jnp.abs(ex.values[i])
             if method == "absmax":

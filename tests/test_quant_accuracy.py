@@ -237,10 +237,11 @@ def test_percentile_calibration_outlier_robust():
     # the fp32 trace, not the int8 path)
     scales_by = {
         m: calibrate(net, sess.params, sess.state, batches, method=m)
-        for m in ("absmax", "percentile")
+        for m in ("absmax", "percentile", "kl")
     }
-    # the outlier must not dominate the percentile scale
+    # the outlier must dominate neither the percentile nor the KL scale
     assert scales_by["percentile"][0] < scales_by["absmax"][0] * 0.5
+    assert scales_by["kl"][0] < scales_by["absmax"][0] * 0.5
 
     accs = {}
     for method, scales in scales_by.items():
@@ -250,6 +251,8 @@ def test_percentile_calibration_outlier_robust():
 
     assert accs["percentile"] >= fp32_acc - 0.02, accs
     assert accs["percentile"] >= accs["absmax"] - 1e-9, accs
+    assert accs["kl"] >= fp32_acc - 0.02, accs
+    assert accs["kl"] >= accs["absmax"] - 1e-9, accs
 
 
 def test_int8_deconv_op_close_to_fp32():
@@ -282,3 +285,123 @@ def test_int8_deconv_op_close_to_fp32():
     # int8 quantization error bound: ~1% of the output scale
     denom = np.abs(ref).max()
     assert np.abs(got - ref).max() / denom < 0.02
+
+
+# --------------------------------------------------------------------- #
+# Calibration-method study (round 4, VERDICT r3 #9): absmax vs
+# percentile vs KL per architecture, on TRAINED nets.
+# --------------------------------------------------------------------- #
+
+
+def test_kl_threshold_prefers_bulk_over_outlier():
+    """Unit: a gaussian bulk + one far outlier bin — the KL threshold
+    must land near the bulk's support, not at the outlier (where absmax
+    would put the scale)."""
+    from bcnn_tpu.ops.quant import _kl_threshold
+
+    rng = np.random.RandomState(0)
+    v = np.abs(rng.randn(200_000)) * 0.5  # bulk |x| mostly < 2
+    hist, _ = np.histogram(v, bins=2048, range=(0.0, 20.0))
+    hist[2047] += 5  # outliers at ~20
+    cut = _kl_threshold(hist)
+    # bulk support ends ~2.5 -> bin ~256 of 2048; absmax would be 2048
+    assert 128 <= cut < 800, cut
+
+
+def test_kl_threshold_degenerate_histograms():
+    from bcnn_tpu.ops.quant import _kl_threshold
+
+    assert _kl_threshold(np.zeros(2048, np.int64)) == 2048
+    h = np.zeros(2048, np.int64)
+    h[10] = 100  # all mass in one early bin: any cut >= 128 is exact
+    assert _kl_threshold(h) >= 128
+
+
+def _calib_study(net, steps, make_batch, out_name="softmax"):
+    """Train once, then measure int8 accuracy under each calibrator."""
+    sess = Session(net, seed=0).compile_net()
+    rng = np.random.RandomState(0)
+    for _ in range(steps):
+        x, y = make_batch(rng, net.batch_size)
+        sess.train_on_batch(x, y)
+    net.set_mode(Mode.VALID)
+    xt, yt = make_batch(np.random.RandomState(99), 256)
+    fp32_acc = accuracy_named(sess, xt, yt, out_name)
+    b = net.batch_size
+    xc, _ = make_batch(np.random.RandomState(7), b * 2)
+    batches = [xc[:b], xc[b : 2 * b]]
+    wq = quantize_weights(net, sess.params)
+    accs = {}
+    for method in ("absmax", "percentile", "kl"):
+        scales = calibrate(
+            net, sess.params, sess.state, batches, method=method
+        )
+        net.quant = {"act_scales": scales, "weights": wq}
+        sess._forward_cache = {}
+        accs[method] = accuracy_named(sess, xt, yt, out_name)
+    net.quant = None
+    return fp32_acc, accs
+
+
+def test_calibration_method_study_per_architecture(capsys):
+    """The per-architecture PTQ table: every calibrator must hold the
+    2% accuracy budget on every studied architecture (these tasks show
+    no outlier pathology, so the methods should agree — the value of
+    the study is the pinned comparison, reported in BENCHMARKS.md)."""
+    from bcnn_tpu import Activation, FillerType, Loss, Metric, Net
+
+    X, R = FillerType.XAVIER, Activation.RELU
+
+    def lenet():
+        return lenet_mnist(batch_size=64), 40, make_data_batch
+
+    def make_data_batch(rng, n):
+        return make_data(rng, n)
+
+    def mobile():
+        net = Net(Mode.TRAIN)
+        net.set_input_shape(16, 16, 3, 32)
+        net.set_sgd_optimizer(0.05, 0.9)
+        net.add_convolutional_layer(8, 3, 2, 1, 1, 1, X, R, 0, "input", "c1")
+        net.add_depthwise_conv_layer(3, 1, 1, 0, X, R, "c1", "dw")
+        net.add_convolutional_layer(16, 1, 1, 0, 1, 1, X, R, 0, "dw", "pw")
+        net.add_avgpool_layer("pw", "pool")
+        net.add_fullc_layer(4, X, Activation.NONE, 0, "pool", "fc")
+        net.add_softmax_layer("fc", "softmax")
+        net.add_cost_layer(Loss.EUCLIDEAN, Metric.ERROR_RATE, 1.0, "softmax")
+        return net, 60, quadrant_batch(3, 16, 4)
+
+    def residual():
+        from bcnn_tpu.ops.quant import plan_int8_flow  # noqa: F401
+
+        net = Net(Mode.TRAIN)
+        net.set_input_shape(16, 16, 3, 32)
+        net.set_sgd_optimizer(0.05, 0.9)
+        net.add_convolutional_layer(16, 3, 1, 1, 1, 1, X, R, 0, "input", "c1")
+        net.add_convolutional_layer(16, 3, 1, 1, 1, 1, X, R, 0, "c1", "c2")
+        net.add_eltwise_layer(R, "c1", "c2", "add")
+        net.add_avgpool_layer("add", "pool")
+        net.add_fullc_layer(4, X, Activation.NONE, 0, "pool", "fc")
+        net.add_softmax_layer("fc", "softmax")
+        net.add_cost_layer(Loss.EUCLIDEAN, Metric.ERROR_RATE, 1.0, "softmax")
+        return net, 60, quadrant_batch(3, 16, 4)
+
+    rows = []
+    for name, mk in (("lenet", lenet), ("mobilenet", mobile),
+                     ("residual", residual)):
+        net, steps, batch_fn = mk()
+        if name == "lenet":
+            net.set_sgd_optimizer(0.02, 0.9)
+        fp32_acc, accs = _calib_study(net, steps, batch_fn)
+        rows.append((name, fp32_acc, accs))
+        assert fp32_acc > 0.9, (name, fp32_acc)
+        for method, acc in accs.items():
+            assert acc >= fp32_acc - 0.02, (name, method, fp32_acc, acc)
+    with capsys.disabled():
+        print("\nPTQ calibration study (accuracy):")
+        print(f"{'arch':<12}{'fp32':<8}{'absmax':<8}{'pctile':<8}{'kl':<8}")
+        for name, fp, accs in rows:
+            print(
+                f"{name:<12}{fp:<8.3f}{accs['absmax']:<8.3f}"
+                f"{accs['percentile']:<8.3f}{accs['kl']:<8.3f}"
+            )
