@@ -177,10 +177,11 @@ class Session:
         tolerance (the scan and straight-line programs fuse/round
         differently under XLA — test-pinned in test_cli.py); with them,
         the per-step RNG stream also differs."""
+        device_augment = getattr(self.net, "device_augment", None)
         unsupported = [
             name for name, on in (
-                ("device_augment", getattr(self.net, "device_augment",
-                                           None) is not None),
+                ("device_augment",
+                 device_augment is not None and self.mesh is not None),
                 ("remat", bool(getattr(self.net, "remat", False))),
                 ("accum_steps",
                  int(getattr(self.net, "accum_steps", 1) or 1) > 1),
@@ -197,7 +198,10 @@ class Session:
             x, y = self.loader.next_batch()
             xs.append(x)
             ys.append(y)
-        xs_in = jnp.asarray(np.stack(xs), jnp.float32)
+        # with device_augment the loader yields RAW UINT8 records; stage
+        # them as-is (4x smaller upload) — normalization runs on device
+        in_dtype = jnp.uint8 if device_augment is not None else jnp.float32
+        xs_in = jnp.asarray(np.stack(xs), in_dtype)
         xs_lab = jnp.asarray(np.stack(ys), jnp.float32)
         self._rng, sub = jax.random.split(self._rng)
         if self.mesh is not None:

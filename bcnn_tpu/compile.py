@@ -829,6 +829,50 @@ def make_detect_fn(
     return detect
 
 
+def _make_train_loss_fn(net: Net, device_augment: Optional[dict]):
+    """The shared TRAIN-mode loss closure: optional fused on-device
+    augmentation (uint8 batch in, data/device_augment.py), then
+    forward in TRAIN mode. Returns (surrogate, (state, loss, yolo_stats)).
+    Used by make_train_step and make_train_scan so both loop shapes
+    support the raw-records + device-augment production feed."""
+    from .types import LayerType
+
+    is_detection = any(n.type == LayerType.YOLOV3 for n in net.nodes)
+    if device_augment is not None and is_detection:
+        # fail at build time, not silently corrupt labels at train time
+        if float(device_augment.get("max_distortion", 0.0)) > 0.0:
+            raise ValueError(
+                "device_augment: max_distortion cannot be combined with "
+                "detection training (no box transform represents it)"
+            )
+
+    def loss_fn(params, state, batch, rng):
+        if device_augment is not None:
+            rng, akey = jax.random.split(rng)
+            if is_detection:
+                from .data.device_augment import (
+                    augment_batch_with_boxes_nchw,
+                )
+
+                x, lab = augment_batch_with_boxes_nchw(
+                    batch["input"], batch["label"], akey, device_augment
+                )
+                batch = dict(batch, input=x, label=lab)
+            else:
+                from .data.device_augment import augment_batch_nchw
+
+                batch = dict(
+                    batch,
+                    input=augment_batch_nchw(
+                        batch["input"], akey, device_augment
+                    ),
+                )
+        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
+        return ex.surrogate, (ex.state, get_loss(ex), ex.yolo_stats)
+
+    return loss_fn
+
+
 def make_train_step(
     net: Net,
     remat: Optional[bool] = None,
@@ -873,42 +917,9 @@ def make_train_step(
             f"accum_steps {accum_steps}"
         )
 
-    from .types import LayerType
-
-    is_detection = any(n.type == LayerType.YOLOV3 for n in net.nodes)
-    if device_augment is not None and is_detection:
-        # fail at build time, not silently corrupt labels at train time
-        if float(device_augment.get("max_distortion", 0.0)) > 0.0:
-            raise ValueError(
-                "device_augment: max_distortion cannot be combined with "
-                "detection training (no box transform represents it)"
-            )
-
     want_stats = bool(getattr(net, "yolo_stats", False))
 
-    def loss_fn(params, state, batch, rng):
-        if device_augment is not None:
-            rng, akey = jax.random.split(rng)
-            if is_detection:
-                from .data.device_augment import (
-                    augment_batch_with_boxes_nchw,
-                )
-
-                x, lab = augment_batch_with_boxes_nchw(
-                    batch["input"], batch["label"], akey, device_augment
-                )
-                batch = dict(batch, input=x, label=lab)
-            else:
-                from .data.device_augment import augment_batch_nchw
-
-                batch = dict(
-                    batch,
-                    input=augment_batch_nchw(
-                        batch["input"], akey, device_augment
-                    ),
-                )
-        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
-        return ex.surrogate, (ex.state, get_loss(ex), ex.yolo_stats)
+    loss_fn = _make_train_loss_fn(net, device_augment)
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())
@@ -963,19 +974,26 @@ def make_train_step(
     return train_step
 
 
-def make_train_scan(net: Net):
+def make_train_scan(net: Net, device_augment: Optional[dict] = None):
     """Multi-step training in ONE device program: lax.scan over the train
     step with pre-staged batches (K, B, ...) — no host round-trip per step.
     This is the TPU-native answer to the reference's per-batch loop
     (bcnn_cl_train): on a tunneled chip per-step dispatch costs an RTT;
-    scanning K steps amortizes it to one. Returns per-step losses."""
+    scanning K steps amortizes it to one. Returns per-step losses.
+
+    device_augment (or net.device_augment): the production feed — batches
+    arrive as RAW UINT8 records (K, B, C, H, W) and flip/shift/contrast/
+    brightness + [-1,1] normalization run inside the scan body on device
+    (data/device_augment.py). Besides freeing the host of augmentation,
+    uint8 staging shrinks the host->device transfer 4x vs fp32 — the
+    dominant cost on a tunneled chip."""
     from .learner import apply_updates
 
     want_stats = bool(getattr(net, "yolo_stats", False))
 
-    def loss_fn(params, state, batch, rng):
-        ex = execute(net, params, state, batch, Mode.TRAIN, rng)
-        return ex.surrogate, (ex.state, get_loss(ex), ex.yolo_stats)
+    if device_augment is None:
+        device_augment = getattr(net, "device_augment", None)
+    loss_fn = _make_train_loss_fn(net, device_augment)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
