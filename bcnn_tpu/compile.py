@@ -1020,6 +1020,62 @@ def make_train_scan(net: Net, device_augment: Optional[dict] = None):
     return train_scan
 
 
+def make_train_scan_resident(net: Net,
+                             device_augment: Optional[dict] = None):
+    """make_train_scan over a DEVICE-RESIDENT dataset: the whole record
+    set lives in HBM (uploaded once, e.g. RawRecordLoader.read_all) and
+    each scan step gathers its batch by index on device.
+
+    Why: on a tunneled/remote chip the sustained-training wall is the
+    per-dispatch host->device batch upload (measured ~17 s per K=5
+    batch-256 uint8 dispatch vs ~0.5 s device compute — BENCHMARKS.md
+    "sustained" section), which no software pipeline can hide because
+    the link is ~30x slower than the step. A dataset that fits in HBM
+    (e.g. 512 letterboxed 416x416 images = 266 MB of 16 GB) turns the
+    per-dispatch transfer into a (K, B) int32 index upload — a few KB —
+    and the gather itself is one HBM-speed take per step. The reference
+    has no analogue (its loader re-reads from disk per batch,
+    src/cli/bcnn_cl.c:104-146); this is the TPU-native fix for the
+    feed-bound regime.
+
+    Signature: train_scan(params, state, opt_state, dataset, idx, rng)
+    where dataset = {"input": (N, C, H, W), "label": (N, L)} device
+    arrays (uint8 images when device_augment is on, pre-normalized fp32
+    otherwise) and idx is (K, B) int32. dataset is NOT donated — it is
+    reused across dispatches. Same numerics as make_train_scan on the
+    staged equivalent batches (tests/test_train_scan.py)."""
+    from .learner import apply_updates
+
+    want_stats = bool(getattr(net, "yolo_stats", False))
+    if device_augment is None:
+        device_augment = getattr(net, "device_augment", None)
+    loss_fn = _make_train_loss_fn(net, device_augment)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_scan(params, state, opt_state, dataset, idx, rng):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            i, key = xs
+            x = jnp.take(dataset["input"], i, axis=0)
+            y = jnp.take(dataset["label"], i, axis=0)
+            (_, (state2, loss, ystats)), grads = grad_fn(
+                params, state, {"input": x, "label": y}, key
+            )
+            params2, opt2 = apply_updates(net, params, grads, opt_state)
+            return (params2, state2, opt2), (loss, ystats)
+
+        keys = jax.random.split(rng, idx.shape[0])
+        (params, state, opt_state), (losses, ystats) = jax.lax.scan(
+            body, (params, state, opt_state), (idx, keys),
+        )
+        if want_stats:
+            return params, state, opt_state, losses, ystats
+        return params, state, opt_state, losses
+
+    return train_scan
+
+
 def make_eval_step(net: Net):
     """bcnn_predict_on_batch in VALID mode: forward + metric, no state
     mutation (running stats untouched outside TRAIN)."""

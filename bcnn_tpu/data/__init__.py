@@ -9,4 +9,9 @@ from .loaders import (
     make_loader,
 )
 from .pipeline import BatchPipeline, ShardedBatchPipeline
-from .records import RawRecordLoader, records_from_loader, write_records
+from .records import (
+    EpochIndexStream,
+    RawRecordLoader,
+    records_from_loader,
+    write_records,
+)

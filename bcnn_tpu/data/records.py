@@ -227,3 +227,70 @@ class RawRecordLoader:
         out = self._take(b)
         self._set_pos((self._get_pos() + (pc - 1 - pi) * b) % self.n)
         return out
+
+    def read_all(self):
+        """Decode the whole file: (x (n,c,h,w) uint8, y (n,label) f32).
+
+        The device-resident feed uploads this ONCE and trains from HBM
+        with per-dispatch index gathers (compile.make_train_scan_resident)
+        — on a tunneled chip the per-dispatch host->device transfer is
+        the sustained-training wall, and a dataset that fits in HBM
+        removes it entirely."""
+        px = self.c * self.h * self.w
+        rec = np.asarray(
+            self._buf[self._hdr: self._hdr + self.n * self._rec]
+        ).reshape(self.n, self._rec)
+        x = rec[:, :px].reshape(self.n, self.c, self.h, self.w).copy()
+        y = rec[:, px:].copy().view(np.float32)
+        return x, y
+
+
+class EpochIndexStream:
+    """Deterministic per-epoch-shuffled sample indices for the
+    device-resident feed.
+
+    `pos` is ONE absolute sample counter: epoch = pos // n picks the
+    epoch's permutation (reseeded from (seed, epoch)), offset = pos % n
+    walks it. Checkpoints store just `pos`; restoring it resumes the
+    exact index sequence — same recovery contract as RawRecordLoader's
+    stream position. shuffle=False degrades to the sequential mod-n
+    order RawRecordLoader itself produces."""
+
+    def __init__(self, n: int, batch: int, seed: int = 0,
+                 shuffle: bool = True):
+        if n < 1 or batch < 1:
+            raise ValueError((n, batch))
+        self.n, self.batch = n, batch
+        self.seed = seed
+        self.shuffle = shuffle
+        self.pos = 0
+        self._perm_epoch = -1
+        self._perm = None
+
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        if not self.shuffle:
+            return None
+        if epoch != self._perm_epoch:
+            self._perm = np.random.default_rng(
+                (self.seed, epoch)
+            ).permutation(self.n).astype(np.int32)
+            self._perm_epoch = epoch
+        return self._perm
+
+    def next(self, k: int) -> np.ndarray:
+        """(k, batch) int32 — indices for k consecutive scan steps."""
+        out = np.empty(k * self.batch, np.int32)
+        got, pos = 0, self.pos
+        while got < out.size:
+            epoch, off = divmod(pos, self.n)
+            take = min(self.n - off, out.size - got)
+            if self.shuffle:
+                out[got: got + take] = self._epoch_perm(epoch)[
+                    off: off + take]
+            else:
+                out[got: got + take] = np.arange(off, off + take,
+                                                 dtype=np.int32)
+            got += take
+            pos += take
+        self.pos = pos
+        return out.reshape(k, self.batch)

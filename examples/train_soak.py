@@ -154,15 +154,15 @@ def run(args):
     loader = RawRecordLoader(net, rec)
     key = jax.random.PRNGKey(args.seed)
     start_step = 0  # in scan dispatches
+    resume_pos = None
     if args.resume:
         if not os.path.exists(ckpt):
             raise SystemExit(f"--resume: no checkpoint at {ckpt}")
         params, state, opt, extra = load_checkpoint(ckpt)
         start_step = int(extra["dispatch"])
         key = jnp.asarray(np.asarray(extra["rng"], np.uint32))
-        loader._set_pos(int(extra["loader_pos"]))
+        resume_pos = int(extra["loader_pos"])
 
-    scan = make_train_scan(net)
     eval_step = None  # compiled lazily at the first eval point (timed)
     eval_batch = None
 
@@ -171,19 +171,55 @@ def run(args):
     n_disp = args.steps // K
     log_event(logp, "seg", start=start_step, target=n_disp,
               batch=B, scan=K, resume=bool(args.resume),
-              act=args.act, pid=os.getpid())
+              act=args.act, feed=args.feed, pid=os.getpid())
 
-    xs_host = np.empty((K, B, C, H, W), np.uint8)
-    ys_host = np.empty((K, B, loader.label_size), np.float32)
+    if args.feed == "resident":
+        # dataset lives in HBM; per-dispatch host traffic = (K, B) int32.
+        # Positions are absolute sample counters in BOTH feeds, so a
+        # cross-feed resume continues training exactly (params/opt/rng),
+        # just not the same sample ORDER (resident shuffles per epoch).
+        from bcnn_tpu.compile import make_train_scan_resident
+        from bcnn_tpu.data import EpochIndexStream
 
-    def stage():
-        for j in range(K):
-            x, y = loader.next_batch()
-            xs_host[j] = x
-            ys_host[j] = y
-        return jax.device_put(
-            {"input": jnp.asarray(xs_host), "label": jnp.asarray(ys_host)}
+        xa, ya = loader.read_all()
+        dataset = jax.device_put(
+            {"input": jnp.asarray(xa), "label": jnp.asarray(ya)}
         )
+        stream = EpochIndexStream(loader.n, B, seed=args.seed)
+        if resume_pos is not None:
+            stream.pos = resume_pos
+        rscan = make_train_scan_resident(net)
+
+        def stage():
+            return jnp.asarray(stream.next(K))
+
+        def dispatch(params, state, opt, staged, sub):
+            return rscan(params, state, opt, dataset, staged, sub)
+
+        def get_pos():
+            return stream.pos
+    else:
+        if resume_pos is not None:
+            loader._set_pos(resume_pos)
+        scan = make_train_scan(net)
+        xs_host = np.empty((K, B, C, H, W), np.uint8)
+        ys_host = np.empty((K, B, loader.label_size), np.float32)
+
+        def stage():
+            for j in range(K):
+                x, y = loader.next_batch()
+                xs_host[j] = x
+                ys_host[j] = y
+            return jax.device_put(
+                {"input": jnp.asarray(xs_host),
+                 "label": jnp.asarray(ys_host)}
+            )
+
+        def dispatch(params, state, opt, staged, sub):
+            return scan(params, state, opt, staged, sub)
+
+        def get_pos():
+            return loader._get_pos()
 
     pending = None  # (dispatch index, losses handle)
     t_sync_prev = None
@@ -193,7 +229,8 @@ def run(args):
     while i < n_disp:
         batch = stage()
         key, sub = jax.random.split(key)
-        params, state, opt, losses = scan(params, state, opt, batch, sub)
+        params, state, opt, losses = dispatch(params, state, opt, batch,
+                                              sub)
         i += 1
         if pending is not None:
             pi, pl = pending
@@ -260,7 +297,7 @@ def run(args):
             atomic_checkpoint(ckpt, params, state, opt, extra={
                 "dispatch": int(i),
                 "rng": np.asarray(key).tolist(),
-                "loader_pos": int(loader._get_pos()),
+                "loader_pos": int(get_pos()),
             })
             log_event(logp, "ckpt", i=i,
                       sec=round(time.perf_counter() - tc, 3))
@@ -277,7 +314,7 @@ def run(args):
         log_event(logp, "mem", i=i, **m)
     atomic_checkpoint(ckpt, params, state, opt, extra={
         "dispatch": int(i), "rng": np.asarray(key).tolist(),
-        "loader_pos": int(loader._get_pos()),
+        "loader_pos": int(get_pos()),
     })
     log_event(logp, "seg_end", i=i)
     print(json.dumps(report(args)))
@@ -376,6 +413,11 @@ def main():
     ap.add_argument("--src-size", type=int, default=640)
     ap.add_argument("--images", type=int, default=512)
     ap.add_argument("--act", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--feed", default="stream",
+                    choices=["stream", "resident"],
+                    help="stream: stage uint8 batches per dispatch; "
+                    "resident: dataset uploaded to HBM once, dispatches "
+                    "send (K,B) int32 indices only")
     ap.add_argument("--eval-every", type=int, default=50,
                     help="eval cadence, in scan dispatches (0 = off)")
     ap.add_argument("--ckpt-every", type=int, default=100,

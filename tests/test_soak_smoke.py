@@ -68,3 +68,26 @@ def test_soak_two_segments_resume_and_report(tmp_path):
     rep3 = json.loads(run_soak(["--dir", d, "--report"], REPO))
     assert rep3["steps"] == 24
     assert rep3["segments"] == 3
+
+
+def test_soak_resident_feed_resume(tmp_path):
+    """Stream segment -> kill -> resume with --feed resident (dataset in
+    device memory, index-only dispatches): params/opt/rng continue from
+    the checkpoint; the report aggregates across the feed change."""
+    d = str(tmp_path / "soak")
+    o = str(tmp_path / "data")
+    common = [
+        "--batch", "2", "--scan", "2", "--size", "64", "--src-size", "96",
+        "--images", "4", "--eval-every", "3", "--ckpt-every", "3",
+        "--dir", d, "--outdir", o, "--act", "fp32",
+    ]
+    run_soak(common + ["--steps", "6"], REPO)
+    out = run_soak(
+        common + ["--steps", "16", "--resume", "--feed", "resident"], REPO
+    )
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["steps"] == 16
+    assert rep["segments"] == 2
+    assert rep["img_s_whole_run"] > 0
+    a, b = rep["eval_first_last_loss"]
+    assert a == a and b == b and a > 0 and b > 0
