@@ -21,6 +21,7 @@ This is the documented fast path, not a bit-exact clone of the host chain.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -143,21 +144,34 @@ def _spotlights_one(img, mu_x, mu_y, sx, sy, active):
     return out
 
 
-def _augment_one(img, params, fill=FILL):
-    """img (H,W,C) float; params dict of scalars (per-image)."""
+def _augment_one(img, params, fill=FILL, geo=True):
+    """img (H,W,C) float; params dict of scalars (per-image).
+
+    geo=False (STATIC, decided from the cfg at trace time) takes the
+    gather-free path: when the config requests no rotation/scale/shift,
+    the affine warp is identity-or-mirror, and the 4-tap
+    `_bilinear_gather` — ~0.5 B per-pixel gathers per 416x416 batch-256
+    step, measured 2.5 s/step on TPU (BENCHMARKS.md sustained section;
+    gathers don't vectorize on the VPU the way a reversal does) — is
+    replaced by a lane-order flip selected per image. Bit-identical to
+    the warp path at theta=0/scale=1/t=0 (the gather reproduces exact
+    pixels at integral coordinates; tests/test_device_augment.py)."""
     h, w, _ = img.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
-    # inverse map: output -> input.  flip then rotate(theta) then
-    # scale(s, around center) then shift(tx, ty)
-    cos_t = jnp.cos(params["theta"])
-    sin_t = jnp.sin(params["theta"])
-    inv_s = 1.0 / params["scale"]
-    sx = (cos_t * xs - sin_t * ys) * inv_s + cx + params["tx"]
-    sy = (sin_t * xs + cos_t * ys) * inv_s + cy + params["ty"]
-    sx = jnp.where(params["flip"] > 0, (w - 1) - sx, sx)
-    out = _bilinear_gather(img, sx, sy, fill)
+    if not geo:
+        out = jnp.where(params["flip"] > 0, img[:, ::-1, :], img)
+    else:
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+        # inverse map: output -> input.  flip then rotate(theta) then
+        # scale(s, around center) then shift(tx, ty)
+        cos_t = jnp.cos(params["theta"])
+        sin_t = jnp.sin(params["theta"])
+        inv_s = 1.0 / params["scale"]
+        sx = (cos_t * xs - sin_t * ys) * inv_s + cx + params["tx"]
+        sy = (sin_t * xs + cos_t * ys) * inv_s + cy + params["ty"]
+        sx = jnp.where(params["flip"] > 0, (w - 1) - sx, sx)
+        out = _bilinear_gather(img, sx, sy, fill)
     # contrast around the per-image mean, then brightness (bip semantics)
     mean = jnp.mean(out, axis=(0, 1), keepdims=True)
     out = (out - mean) * params["contrast"] + mean + params["brightness"]
@@ -176,6 +190,19 @@ def _augment_one(img, params, fill=FILL):
             params["spot_sx"], params["spot_sy"], params["spot_active"],
         )
     return out
+
+
+def _needs_geo(cfg: Dict) -> bool:
+    """Static (trace-time) test: does this config ever move pixels off
+    the integer grid? If not, the vmapped warp can take the gather-free
+    path in _augment_one."""
+    return bool(
+        float(cfg.get("rotation_range", 0.0))
+        or float(cfg.get("min_scale", 0.0))
+        or float(cfg.get("max_scale", 0.0))
+        or float(cfg.get("range_shift_x", 0))
+        or float(cfg.get("range_shift_y", 0))
+    )
 
 
 def sample_params(rng: jax.Array, n: int, cfg: Dict) -> Dict[str, jax.Array]:
@@ -262,7 +289,9 @@ def augment_batch(
     n = x.shape[0]
     cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
-    out = jax.vmap(_augment_one)(x, params)
+    out = jax.vmap(
+        functools.partial(_augment_one, geo=_needs_geo(cfg))
+    )(x, params)
     return (out - mean) * norm_coeff
 
 
@@ -353,7 +382,9 @@ def augment_batch_with_boxes(
     n = x.shape[0]
     cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
-    out = jax.vmap(_augment_one)(x, params)
+    out = jax.vmap(
+        functools.partial(_augment_one, geo=_needs_geo(cfg))
+    )(x, params)
     newlab = transform_boxes(labels, params, x.shape[1], x.shape[2])
     return (out - mean) * norm_coeff, newlab
 

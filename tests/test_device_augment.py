@@ -261,3 +261,33 @@ def test_detection_train_step_with_device_augment():
         make_train_step(
             net, device_augment=dict(cfg, max_distortion=0.1)
         )
+
+
+def test_gather_free_path_matches_warp_path():
+    """A config with no rotation/scale/shift takes the gather-free flip
+    path (geo=False); it must be BIT-identical to the full warp at
+    theta=0/scale=1/t=0 — the bilinear gather reproduces exact pixels at
+    integral coordinates, so the fast path is a pure lowering change."""
+    import functools
+
+    from bcnn_tpu.data.device_augment import _augment_one, _needs_geo
+
+    cfg = {"random_fliph": 1, "min_contrast": 0.8, "max_contrast": 1.2,
+           "min_brightness": -30, "max_brightness": 30,
+           "_img_h": 17, "_img_w": 13}
+    assert not _needs_geo(cfg)
+    assert _needs_geo(dict(cfg, rotation_range=10.0))
+    assert _needs_geo(dict(cfg, range_shift_x=2))
+
+    x = (np.random.RandomState(0).rand(6, 17, 13, 3) * 255).astype(
+        np.float32
+    )
+    params = sample_params(jax.random.PRNGKey(1), 6, cfg)
+    assert bool(np.asarray(params["flip"]).max()) == 1  # both branches hit
+    fast = jax.vmap(functools.partial(_augment_one, geo=False))(
+        jnp.asarray(x), params
+    )
+    warp = jax.vmap(functools.partial(_augment_one, geo=True))(
+        jnp.asarray(x), params
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(warp))

@@ -273,23 +273,31 @@ def run_full(args, x, key, runs):
 
 
 def table(rows, full_row, sentinel=None):
-    out = ["", "| block | ms | Δms | ΔGB | Δfloor ms | x-floor | bnd ms |",
-           "|---|---|---|---|---|---|---|"]
-    prev = {"ms": 0.0, "gbytes": 0.0, "gflop": 0.0, "floor_ms": 0.0,
-            "bnd_ms": 0.0}
-    total_attr = 0.0
+    """Per-block floor = max(Δbytes/BW, Δflops/peak) of the BLOCK's own
+    deltas — NOT the delta of the prefix maxes (which under-floors a
+    flops-bound block appended to a bytes-bound prefix and fabricates
+    'outliers'; caught reconciling cut 7/12 against their flop cost)."""
+    out = ["", "| block | ms | Δms(corr) | ΔGB | ΔGF "
+           "| floor ms | x-floor | bnd ms |",
+           "|---|---|---|---|---|---|---|---|"]
+    prev = {"ms": 0.0, "gbytes": 0.0, "gflop": 0.0, "bnd_ms": 0.0}
+    total_attr = total_floor = 0.0
     for r in rows:
         dms = r["ms"] - prev["ms"]
         dgb = r["gbytes"] - prev["gbytes"]
-        dfloor = r["floor_ms"] - prev["floor_ms"]
+        dgf = r["gflop"] - prev["gflop"]
+        dfloor = max(dgb / HBM_GBPS * 1e3, dgf / BF16_TFLOPS)
         corr = dms - r["bnd_ms"] + prev["bnd_ms"]
         xf = corr / dfloor if dfloor > 0.05 else float("nan")
         total_attr += corr
+        total_floor += dfloor
         out.append(
-            f"| {r['name']} | {r['ms']:.1f} | {dms:+.1f} | {dgb:+.2f} "
-            f"| {dfloor:+.2f} | {xf:.2f} | {r['bnd_ms']:.2f} |"
+            f"| {r['name']} | {r['ms']:.1f} | {corr:+.1f} | {dgb:+.2f} "
+            f"| {dgf:+.0f} | {dfloor:.2f} | {xf:.2f} | {r['bnd_ms']:.2f} |"
         )
         prev = r
+    out.append(f"| sum of blocks | | {total_attr:+.1f} | | "
+               f"| {total_floor:.2f} | {total_attr / total_floor:.2f} | |")
     if full_row is not None:
         yolo_ms = full_row["ms"] - rows[-1]["ms"] + rows[-1]["bnd_ms"]
         out.append(
@@ -316,7 +324,26 @@ def main():
                     help="runs=3, no sentinel (CPU smoke)")
     ap.add_argument("--skip-full", action="store_true")
     ap.add_argument("--no-sentinel", action="store_true")
+    ap.add_argument("--table-from", default="",
+                    help="rebuild the table from a saved run's row-JSON "
+                    "lines (no TPU)")
     args = ap.parse_args()
+    if args.table_from:
+        rows, full_row, sentinel = [], None, None
+        for ln in open(args.table_from):
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            r = json.loads(ln)
+            if r["cut"] == "full":
+                full_row = r
+            elif any(q["cut"] == r["cut"] for q in rows):
+                q = next(q for q in rows if q["cut"] == r["cut"])
+                sentinel = (r["ms"] - q["ms"]) / q["ms"]
+            else:
+                rows.append(r)
+        print(table(rows, full_row, sentinel))
+        return
     if args.quick:
         args.runs = 3
         args.no_sentinel = True
