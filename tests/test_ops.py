@@ -438,3 +438,42 @@ def test_prelu_reference_backward_quirk():
     y = np.where(np.asarray(x) > 0, np.asarray(x), np.asarray(s) * np.asarray(x))
     expect = 2 * y * np.where(y > 0, 1.0, np.asarray(s))
     np.testing.assert_allclose(np.asarray(gx), expect, rtol=1e-5)
+
+
+def test_maxpool2x2_reshape_matches_reduce_window():
+    """The default 2x2/s2 maxpool path (argmax-storing reshape VJP,
+    ops/pool.py) must match the reduce_window lowering BIT-exactly:
+    values, grads, tie-break (first max in row-major window order — the
+    reference's strictly-greater scan, bcnn_maxpool_layer.c:145-192),
+    and the odd-dimension -inf high-padding case."""
+    import jax
+    import jax.numpy as jnp
+
+    import bcnn_tpu.ops.pool as pool
+
+    rng = np.random.RandomState(0)
+    for (h, w, oh, ow) in [(8, 8, 4, 4), (7, 9, 4, 5), (13, 13, 7, 7)]:
+        x = rng.randn(3, h, w, 5).astype(np.float32)
+        x[:, 0:2, 0:2, :] = 7.0           # 4-way tie in one window
+        x[:, 2, 2, :] = x[:, 3, 3, :] = 5.0
+
+        def f_rw(v):
+            pad_h = max(0, (oh - 1) * 2 + 2 - h)
+            pad_w = max(0, (ow - 1) * 2 + 2 - w)
+            return jax.lax.reduce_window(
+                v, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+            )
+
+        def f_rs(v):
+            return pool._maxpool2x2_reshape(v, oh, ow, h, w)
+
+        xj = jnp.asarray(x)
+        y1, y2 = f_rw(xj), f_rs(xj)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        g = jnp.asarray(
+            rng.randn(*np.asarray(y1).shape).astype(np.float32)
+        )
+        d1 = jax.grad(lambda v: jnp.vdot(f_rw(v), g))(xj)
+        d2 = jax.grad(lambda v: jnp.vdot(f_rs(v), g))(xj)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
