@@ -333,7 +333,7 @@ def report(args):
             cur = {"t0": e["t"], "t1": e["t"], "start": e["start"],
                    "batch": e["batch"], "scan": e["scan"], "d": [],
                    "compile_s": 0.0, "eval": [], "ckpt": [], "mem": [],
-                   "last": e["start"]}
+                   "last": e["start"], "feed": e.get("feed", "stream")}
             continue
         if cur is None:
             continue
@@ -392,6 +392,27 @@ def report(args):
         "ckpt_n": sum(len(s["ckpt"]) for s in segs),
         "ckpt_s_mean": round(float(np.mean(sum((s["ckpt"] for s in segs),
                                                []) or [0])), 2),
+        # one entry per segment: a soak that survives kills/feed changes
+        # is a sequence of regimes; the aggregate alone hides which
+        # regime a bottleneck (or a fix) belongs to
+        "per_segment": [
+            {
+                "feed": s["feed"],
+                "dispatch_range": [s["start"], s["last"]],
+                "wall_s": round(s["t1"] - s["t0"], 1),
+                "d_n": len(s["d"]),
+                "step_ms_p50": round(float(np.percentile(
+                    np.asarray(s["d"]) / scan * 1e3, 50)), 1)
+                if s["d"] else None,
+                "step_ms_p90": round(float(np.percentile(
+                    np.asarray(s["d"]) / scan * 1e3, 90)), 1)
+                if s["d"] else None,
+                "img_s_steady": int(round(
+                    batch * scan * len(s["d"]) / sum(s["d"])))
+                if s["d"] else None,
+            }
+            for s in segs
+        ],
     }
     if mems:
         inuse = [m.get("bytes_in_use") for m in mems
