@@ -32,9 +32,16 @@ from jax import lax
 #               re-read of x. Identical values AND identical tie-break
 #               (first max in row-major window order, = the reference's
 #               strictly-greater scan, bcnn_maxpool_layer.c:145-192).
-# Both are measured in BENCHMARKS.md (per-layer attribution section);
-# the env knob exists so the experiment stays reproducible.
-POOL2X2_IMPL = os.environ.get("BCNN_POOL2X2", "reshape")
+#
+# MEASURED NEGATIVE, twice (BENCHMARKS.md): the round-3 one_hot variant
+# lost 168.9-vs-140.4 ms on the fp32-act full step; this uint8-argmax
+# variant lost again on the act16 prefix cuts (cut 2: 56.5 vs 48.2 ms,
+# cut 6: 92.5 vs 78.0, +10 GB cost-analysis traffic) — XLA materializes
+# the (N,oh,ow,4,C) window transpose instead of fusing it, which costs
+# more than select_and_scatter's re-read. Default stays "rw"; the
+# formulation + knob + bit-parity test are kept so the next compiler
+# version can re-run the A/B in one env var.
+POOL2X2_IMPL = os.environ.get("BCNN_POOL2X2", "rw")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
