@@ -144,6 +144,55 @@ def make_dp_train_scan(net: Net, mesh: Mesh):
     )
 
 
+def make_dp_train_scan_resident(net: Net, mesh: Mesh,
+                                device_augment=None):
+    """Data-parallel variant of compile.make_train_scan_resident: the
+    dataset is REPLICATED into every device's HBM (a dataset small
+    enough for this feed fits many times over) and each scan step's
+    (K, B) int32 index slab is sharded on the batch axis, so every
+    device gathers only its stripe of the batch and GSPMD all-reduces
+    grads over ICI inside the scan — the multi-chip version of the feed
+    that holds sustained == burst in the soak (BENCHMARKS.md). Per-step
+    numerics match the single-device resident scan (test_parallel.py);
+    supports the device-augment uint8 path like the single-device
+    factory."""
+    from ..compile import _make_train_loss_fn
+    from ..learner import apply_updates
+
+    if device_augment is None:
+        device_augment = getattr(net, "device_augment", None)
+    loss_fn = _make_train_loss_fn(net, device_augment)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    repl = NamedSharding(mesh, P())
+    ish = NamedSharding(mesh, P(None, BATCH_AXIS))
+
+    def core(params, state, opt_state, dataset, idx, rng):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            i, key = xs
+            x = jnp.take(dataset["input"], i, axis=0)
+            y = jnp.take(dataset["label"], i, axis=0)
+            (_, (state2, loss, _ys)), grads = grad_fn(
+                params, state, {"input": x, "label": y}, key
+            )
+            params2, opt2 = apply_updates(net, params, grads, opt_state)
+            return (params2, state2, opt2), loss
+
+        keys = jax.random.split(rng, idx.shape[0])
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), (idx, keys)
+        )
+        return params, state, opt_state, losses
+
+    return jax.jit(
+        core,
+        in_shardings=(repl, repl, repl, repl, ish, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
 def make_spatial_forward(net: Net, mesh: Mesh, output_names,
                          axis: str = BATCH_AXIS):
     """Spatial partitioning: shard the image HEIGHT across the mesh —

@@ -557,3 +557,57 @@ def test_session_train_scan_on_batches_dp(mesh8):
         np.testing.assert_allclose(
             a, b, rtol=2e-3, atol=2e-4, err_msg=kk
         )
+
+
+def test_dp_resident_scan_matches_single_device(mesh8):
+    """The device-resident feed under DP: dataset replicated, per-step
+    (K, B) index slab sharded on batch. Per-step losses must match the
+    single-device make_train_scan_resident; params to the same DP
+    tolerance as the staged-scan test above (GSPMD reduction
+    re-association). Runs the uint8 + device-augment production path."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcnn_tpu.compile import make_train_scan_resident
+    from bcnn_tpu.parallel import make_dp_train_scan_resident, replicate
+
+    K, batch, n = 3, 16, 40
+    rng = np.random.RandomState(5)
+    ds_x = rng.randint(0, 256, (n, 1, 28, 28)).astype(np.uint8)
+    ds_y = np.zeros((n, 10, 1, 1), np.float32)
+    ds_y[np.arange(n), rng.randint(0, 10, n)] = 1.0
+    idx = rng.randint(0, n, (K, batch)).astype(np.int32)
+    aug = {"random_fliph": 1, "min_brightness": -20, "max_brightness": 20}
+
+    def build():
+        net = lenet_mnist(batch_size=batch)
+        net.set_sgd_optimizer(0.05, 0.9)
+        net.device_augment = aug
+        return net
+
+    key = jax.random.PRNGKey(0)
+    s1 = Session(build(), seed=0).compile_net()
+    scan1 = make_train_scan_resident(build())
+    p1, _, _, l1 = scan1(
+        s1.params, s1.state, s1.opt_state,
+        {"input": jnp.asarray(ds_x), "label": jnp.asarray(ds_y)},
+        jnp.asarray(idx), key,
+    )
+
+    s8 = Session(build(), seed=0).compile_net()
+    scan8 = make_dp_train_scan_resident(build(), mesh8)
+    ish = NamedSharding(mesh8, P(None, "batch"))
+    p8, _, _, l8 = scan8(
+        replicate(mesh8, s8.params), replicate(mesh8, s8.state),
+        replicate(mesh8, s8.opt_state),
+        replicate(mesh8, {"input": ds_x, "label": ds_y}),
+        jax.device_put(jnp.asarray(idx), ish), key,
+    )
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l8), rtol=1e-5, atol=1e-7
+    )
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p8[k]), rtol=1e-2, atol=5e-3,
+            err_msg=k,
+        )
