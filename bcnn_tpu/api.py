@@ -45,6 +45,7 @@ class Session:
         self.loader = None
         self._train_step = None
         self._train_scan = None
+        self._resident = None
         self._forward_cache = {}
         self._rng = jax.random.PRNGKey(seed ^ 0x5EED)
         self._step_count = 0
@@ -87,6 +88,7 @@ class Session:
                 self.opt_state = replicate(self.mesh, self.opt_state)
         self._train_step = None
         self._train_scan = None
+        self._resident = None
         self._forward_cache = {}
         return self
 
@@ -223,6 +225,83 @@ class Session:
                 {"input": xs_in, "label": xs_lab}, sub,
             )
         if len(out) == 5:  # net.yolo_stats: per-step stats, leading axis k
+            self.params, self.state, self.opt_state, losses, ystats = out
+            self.last_yolo_stats = jax.tree.map(
+                lambda v: np.asarray(v), ystats
+            )
+        else:
+            self.params, self.state, self.opt_state, losses = out
+        self._step_count += k
+        return float(jnp.sum(losses))
+
+    def train_scan_resident_on_batches(self, k: int,
+                                       shuffle: bool = False) -> float:
+        """train_scan_on_batches over the DEVICE-RESIDENT feed: on first
+        call the Session's RawRecordLoader is decoded whole
+        (loader.read_all) and uploaded to device memory once; every call
+        then dispatches one K-step scan whose per-step batches are
+        gathered on device from a (k, B) int32 index slab — per-dispatch
+        host traffic is the index array (compile.make_train_scan_resident;
+        DP mesh: parallel.make_dp_train_scan_resident with the dataset
+        replicated per device). Requires net.device_augment (records
+        store raw uint8; use {} for normalize-only). shuffle=False walks
+        the loader's own sequential mod-n order; shuffle=True draws a
+        deterministic per-epoch permutation (EpochIndexStream). This is
+        the loop shape that holds sustained == burst in the 5,000-step
+        soak (BENCHMARKS.md)."""
+        from .data.records import EpochIndexStream, RawRecordLoader
+
+        device_augment = getattr(self.net, "device_augment", None)
+        if device_augment is None:
+            raise ValueError(
+                "train_scan_resident_on_batches requires "
+                "net.device_augment (records are raw uint8; {} gives "
+                "device-side normalization only)"
+            )
+        if not isinstance(self.loader, RawRecordLoader):
+            raise ValueError(
+                "train_scan_resident_on_batches needs a RawRecordLoader "
+                "(records_from_loader writes one); got "
+                f"{type(self.loader).__name__}"
+            )
+        for name, on in (
+            ("remat", bool(getattr(self.net, "remat", False))),
+            ("accum_steps",
+             int(getattr(self.net, "accum_steps", 1) or 1) > 1),
+        ):
+            if on:
+                raise ValueError(
+                    f"train_scan_resident_on_batches does not support "
+                    f"{name}; use train_on_batch"
+                )
+        if self._resident is None:
+            xa, ya = self.loader.read_all()
+            ds = {"input": jnp.asarray(xa), "label": jnp.asarray(ya)}
+            stream = EpochIndexStream(
+                self.loader.n, self.net.batch_size,
+                seed=self.seed, shuffle=shuffle,
+            )
+            if self.mesh is not None:
+                from .parallel import make_dp_train_scan_resident, replicate
+
+                ds = replicate(self.mesh, ds)
+                scan = make_dp_train_scan_resident(self.net, self.mesh)
+            else:
+                from .compile import make_train_scan_resident
+
+                scan = make_train_scan_resident(self.net)
+            self._resident = (scan, ds, stream)
+        scan, ds, stream = self._resident
+        idx = jnp.asarray(stream.next(k))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            idx = jax.device_put(
+                idx, NamedSharding(self.mesh, P(None, "batch"))
+            )
+        self._rng, sub = jax.random.split(self._rng)
+        out = scan(self.params, self.state, self.opt_state, ds, idx, sub)
+        if len(out) == 5:
             self.params, self.state, self.opt_state, losses, ystats = out
             self.last_yolo_stats = jax.tree.map(
                 lambda v: np.asarray(v), ystats

@@ -197,7 +197,8 @@ def train(sess: Session, param: CliParam) -> float:
         # Eval/save boundaries must align with the chunk size; when they
         # don't, fall back to the reference-exact per-step loop.
         scan_unsupported = (
-            getattr(net, "device_augment", None) is not None
+            (getattr(net, "device_augment", None) is not None
+             and sess.mesh is not None)  # single-device scan augments
             or bool(getattr(net, "remat", False))
             or int(getattr(net, "accum_steps", 1) or 1) > 1
         )
@@ -205,7 +206,7 @@ def train(sess: Session, param: CliParam) -> float:
                 or nb_iter % k or scan_unsupported):
             print(
                 f"scan_steps={k} needs aligned eval_period/save_model/"
-                "max_batches and no device_augment/remat/accum_steps; "
+                "max_batches and no mesh+device_augment/remat/accum_steps; "
                 "using the per-step loop",
                 file=sys.stderr,
             )

@@ -368,3 +368,73 @@ def test_raw_records_native_gather_bit_identical(tmp_path, monkeypatch):
         np.testing.assert_array_equal(xn, xp, err_msg=str(i))
         np.testing.assert_array_equal(yn, yp)
     del os.environ["BCNN_TPU_NATIVE_LOADER"]
+
+
+def test_session_resident_scan_surface(tmp_path):
+    """Session.train_scan_resident_on_batches: records decoded + uploaded
+    once, K-step scans driven by index slabs; equals the staged
+    train_scan_on_batches trajectory in sequential (shuffle=False) order;
+    refuses non-record loaders and augment-less nets; runs under a DP
+    mesh (dataset replicated, indices batch-sharded)."""
+    import jax
+    import pytest
+
+    from bcnn_tpu import (
+        Activation, FillerType, Loss, Metric, Session,
+    )
+    from bcnn_tpu.data import RawRecordLoader, records_from_loader
+
+    lst = write_dataset(tmp_path, n=8)
+
+    def build(aug=True):
+        net = Net(Mode.TRAIN)
+        net.set_input_shape(12, 12, 3, 4)
+        net.set_sgd_optimizer(learning_rate=0.01, momentum=0.9)
+        net.add_convolutional_layer(
+            8, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.RELU, 0,
+            "input", "c1",
+        )
+        net.add_fullc_layer(
+            4, FillerType.XAVIER, Activation.NONE, 0, "c1", "f"
+        )
+        net.add_cost_layer(Loss.EUCLIDEAN, Metric.SSE, 1.0, "f")
+        if aug:
+            net.device_augment = {}
+        return net
+
+    rec = tmp_path / "t.bcrd"
+    records_from_loader(
+        ClassificationListLoader(build(aug=False), str(lst)), str(rec), 8
+    )
+
+    # staged scan vs resident scan, same sequential order + rng stream
+    sess_a = Session(build(), seed=3).compile_net()
+    sess_a.loader = RawRecordLoader(sess_a.net, str(rec))
+    la = [sess_a.train_scan_on_batches(2) for _ in range(2)]
+
+    sess_b = Session(build(), seed=3).compile_net()
+    sess_b.loader = RawRecordLoader(sess_b.net, str(rec))
+    lb = [sess_b.train_scan_resident_on_batches(2) for _ in range(2)]
+    np.testing.assert_allclose(la, lb, rtol=1e-5)
+
+    # refusals
+    sess_c = Session(build(), seed=0).compile_net()
+    sess_c.loader = ClassificationListLoader(sess_c.net, str(lst))
+    with pytest.raises(ValueError, match="RawRecordLoader"):
+        sess_c.train_scan_resident_on_batches(2)
+    net_d = build(aug=False)
+    sess_d = Session(net_d, seed=0).compile_net()
+    sess_d.loader = RawRecordLoader(net_d, str(rec))
+    with pytest.raises(ValueError, match="device_augment"):
+        sess_d.train_scan_resident_on_batches(2)
+
+    # DP mesh: runs and stays finite (bit-parity vs single device is
+    # pinned at the factory level in test_parallel.py)
+    from bcnn_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    sess_m = Session(build(), seed=3, mesh=mesh).compile_net()
+    sess_m.loader = RawRecordLoader(sess_m.net, str(rec))
+    lm = sess_m.train_scan_resident_on_batches(2)
+    assert np.isfinite(lm)
+    np.testing.assert_allclose(lm, lb[0], rtol=1e-4)
