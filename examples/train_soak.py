@@ -25,11 +25,18 @@ fp32). A one-deep software pipeline overlaps staging/upload of dispatch
 k+1 with device compute of dispatch k: the scan is dispatched async and
 only dispatch k-1's losses are synced each iteration.
 
+`--feed resident` switches to the device-resident dataset
+(make_train_scan_resident): the record set is uploaded to HBM once and
+dispatches carry only a (K, B) int32 index slab — the feed that holds
+sustained == burst on a tunneled chip (BENCHMARKS.md "Sustained
+training soak"; the streamed feed is upload-bound there). Checkpoints
+are feed-agnostic: a stream segment can resume as a resident one.
+
 Usage (the BENCHMARKS.md run):
   python examples/train_soak.py --steps 5000 --batch 256 --scan 5 \
       --dir /tmp/bcnn_soak                 # segment 1 (kill it mid-run)
   python examples/train_soak.py --steps 5000 --batch 256 --scan 5 \
-      --dir /tmp/bcnn_soak --resume        # segment 2 (finishes)
+      --dir /tmp/bcnn_soak --resume --feed resident   # finishes
   python examples/train_soak.py --dir /tmp/bcnn_soak --report
 """
 
