@@ -292,6 +292,12 @@ class Session:
                 scan = make_train_scan_resident(self.net)
             self._resident = (scan, ds, stream)
         scan, ds, stream = self._resident
+        if stream.shuffle != shuffle:
+            raise ValueError(
+                "shuffle is fixed at the first "
+                f"train_scan_resident_on_batches call ({stream.shuffle}); "
+                "compile_net() resets the resident state"
+            )
         idx = jnp.asarray(stream.next(k))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
