@@ -144,21 +144,59 @@ def _spotlights_one(img, mu_x, mu_y, sx, sy, active):
     return out
 
 
-def _augment_one(img, params, fill=FILL, geo=True):
+def _interp_matrix(coords, n):
+    """(m,) source coordinates -> ((m, n) two-tap bilinear weights with
+    the gather path's clamped-cell semantics, (m,) in-range mask)."""
+    c0 = jnp.clip(jnp.floor(coords), 0, n - 2).astype(jnp.int32)
+    f = (coords - c0)[:, None]
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    W = (
+        (j == c0[:, None]) * (1.0 - f) + (j == c0[:, None] + 1) * f
+    ).astype(jnp.float32)
+    valid = (coords >= 0) & (coords <= n - 1)
+    return W, valid
+
+
+def _augment_one(img, params, fill=FILL, geo="full"):
     """img (H,W,C) float; params dict of scalars (per-image).
 
-    geo=False (STATIC, decided from the cfg at trace time) takes the
-    gather-free path: when the config requests no rotation/scale/shift,
-    the affine warp is identity-or-mirror, and the 4-tap
-    `_bilinear_gather` — ~0.5 B per-pixel gathers per 416x416 batch-256
-    step, measured 2.5 s/step on TPU (BENCHMARKS.md sustained section;
-    gathers don't vectorize on the VPU the way a reversal does) — is
-    replaced by a lane-order flip selected per image. Bit-identical to
-    the warp path at theta=0/scale=1/t=0 (the gather reproduces exact
-    pixels at integral coordinates; tests/test_device_augment.py)."""
+    `geo` is STATIC, decided from the cfg at trace time:
+
+    - "none": no rotation/scale/shift requested — the warp is
+      identity-or-mirror; a per-image selected lane reversal replaces
+      the 4-tap `_bilinear_gather` (~0.5 B per-pixel gathers per
+      416x416 batch-256 step, measured 2.5 s/step on TPU — gathers
+      don't vectorize on the VPU the way a reversal does).
+      Bit-identical to the warp at theta=0/scale=1/t=0.
+    - "separable": scale/shift/flip but NO rotation — the source
+      coordinate of axis y depends only on y and of x only on x, so
+      the SAME bilinear math factors into two batched two-tap
+      interpolation matmuls (out = Wx @ (Wy @ img)) that run on the
+      MXU instead of gathering on the VPU; validity/fill is the outer
+      product of the per-axis in-range masks, exactly the gather's
+      rectangle. Same values to float-reassociation tolerance (the
+      4-term bilinear sum regrouped as rows-then-cols; tested).
+    - "full": rotation mixes the axes — keep the bilinear gather."""
     h, w, _ = img.shape
-    if not geo:
+    if geo == "none":
         out = jnp.where(params["flip"] > 0, img[:, ::-1, :], img)
+    elif geo == "separable":
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        inv_s = 1.0 / params["scale"]
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        sy = (ys - cy) * inv_s + cy + params["ty"]
+        sx = (xs - cx) * inv_s + cx + params["tx"]
+        sx = jnp.where(params["flip"] > 0, (w - 1) - sx, sx)
+        Wy, vy = _interp_matrix(sy, h)
+        Wx, vx = _interp_matrix(sx, w)
+        tmp = jnp.einsum(
+            "ih,hwc->iwc", Wy, img, precision=jax.lax.Precision.HIGHEST
+        )
+        out = jnp.einsum(
+            "jw,iwc->ijc", Wx, tmp, precision=jax.lax.Precision.HIGHEST
+        )
+        out = jnp.where((vy[:, None] & vx[None, :])[..., None], out, fill)
     else:
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
         ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
@@ -192,17 +230,21 @@ def _augment_one(img, params, fill=FILL, geo=True):
     return out
 
 
+def _geo_mode(cfg: Dict) -> str:
+    """Static (trace-time) warp classification for _augment_one's `geo`:
+    "none" (flip only — lane reversal), "separable" (scale/shift but no
+    rotation — MXU matmul warp), "full" (rotation — bilinear gather)."""
+    if float(cfg.get("rotation_range", 0.0)):
+        return "full"
+    if (float(cfg.get("min_scale", 0.0)) or float(cfg.get("max_scale", 0.0))
+            or float(cfg.get("range_shift_x", 0))
+            or float(cfg.get("range_shift_y", 0))):
+        return "separable"
+    return "none"
+
+
 def _needs_geo(cfg: Dict) -> bool:
-    """Static (trace-time) test: does this config ever move pixels off
-    the integer grid? If not, the vmapped warp can take the gather-free
-    path in _augment_one."""
-    return bool(
-        float(cfg.get("rotation_range", 0.0))
-        or float(cfg.get("min_scale", 0.0))
-        or float(cfg.get("max_scale", 0.0))
-        or float(cfg.get("range_shift_x", 0))
-        or float(cfg.get("range_shift_y", 0))
-    )
+    return _geo_mode(cfg) != "none"
 
 
 def sample_params(rng: jax.Array, n: int, cfg: Dict) -> Dict[str, jax.Array]:
@@ -290,7 +332,7 @@ def augment_batch(
     cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
     out = jax.vmap(
-        functools.partial(_augment_one, geo=_needs_geo(cfg))
+        functools.partial(_augment_one, geo=_geo_mode(cfg))
     )(x, params)
     return (out - mean) * norm_coeff
 
@@ -383,7 +425,7 @@ def augment_batch_with_boxes(
     cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
     out = jax.vmap(
-        functools.partial(_augment_one, geo=_needs_geo(cfg))
+        functools.partial(_augment_one, geo=_geo_mode(cfg))
     )(x, params)
     newlab = transform_boxes(labels, params, x.shape[1], x.shape[2])
     return (out - mean) * norm_coeff, newlab

@@ -291,3 +291,34 @@ def test_gather_free_path_matches_warp_path():
         jnp.asarray(x), params
     )
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(warp))
+
+
+def test_separable_warp_matches_gather_warp():
+    """Scale/shift/flip (no rotation) classifies as "separable" and runs
+    as two interpolation matmuls; values must match the bilinear gather
+    to float-reassociation tolerance, including the fill rectangle."""
+    import functools
+
+    from bcnn_tpu.data.device_augment import _augment_one, _geo_mode
+
+    cfg = {"random_fliph": 1, "min_scale": 0.7, "max_scale": 1.3,
+           "range_shift_x": 6, "range_shift_y": 4,
+           "min_brightness": -10, "max_brightness": 10,
+           "_img_h": 21, "_img_w": 15}
+    assert _geo_mode(cfg) == "separable"
+    assert _geo_mode(dict(cfg, rotation_range=5.0)) == "full"
+    assert _geo_mode({"random_fliph": 1}) == "none"
+
+    x = (np.random.RandomState(2).rand(8, 21, 15, 3) * 255).astype(
+        np.float32
+    )
+    params = sample_params(jax.random.PRNGKey(4), 8, cfg)
+    sep = jax.vmap(functools.partial(_augment_one, geo="separable"))(
+        jnp.asarray(x), params
+    )
+    full = jax.vmap(functools.partial(_augment_one, geo="full"))(
+        jnp.asarray(x), params
+    )
+    np.testing.assert_allclose(
+        np.asarray(sep), np.asarray(full), rtol=1e-5, atol=1e-3
+    )
