@@ -189,15 +189,21 @@ def map_eval(
     if batches is None:
         if n_img is None:
             raise ValueError("pass num_images or batches")
-        batches = max(1, n_img // net.batch_size)
+        # evaluate EXACTLY n_img images: ceil to cover the tail, then
+        # slice the final (stream-wrapped) batch down to the remainder
+        batches = -(-n_img // net.batch_size)
+    limit = n_img if n_img is not None else batches * net.batch_size
     preds: List[np.ndarray] = []
     gts: List[np.ndarray] = []
     classes = _num_classes(net)
     for _ in range(batches):
+        if len(preds) >= limit:
+            break
         x, y = sess.loader.next_batch()
         b, s, _o = sess.detect_on_batch(x, thresh=thresh, max_dets=max_dets)
         b, s = np.asarray(b), np.asarray(s)
-        for i in range(net.batch_size):
+        take = min(net.batch_size, limit - len(preds))
+        for i in range(take):
             preds.append(dets_to_rows(b[i], s[i]))
             lab = np.asarray(y[i]).reshape(-1, 5)
             # truths terminate at the first x == 0 (reference `break`)

@@ -137,3 +137,33 @@ def test_map_eval_session_end_to_end(tmp_path):
     res = map_eval(sess, num_images=8)
     assert 0.0 <= res["map50"] <= 0.3  # untrained: near zero
     assert int(res["n_gt"].sum()) == 8
+
+
+def test_map_eval_exact_image_count(tmp_path):
+    """map_eval evaluates EXACTLY num_images: a non-batch-multiple count
+    (5 at batch 4) covers the tail batch and slices off the wrapped
+    extras; a sub-batch count (3 at batch 4) does not double-count the
+    stream-wrap duplicates. One GT box per image, so n_gt.sum() is the
+    image count."""
+    from tests.test_training_parity import YOLO_CONF, write_detection_set
+    from bcnn_tpu import Mode, Net, Session
+    from bcnn_tpu.config import load_net
+    from bcnn_tpu.metrics_det import map_eval
+    from bcnn_tpu.types import LoaderType
+
+    lst = write_detection_set(tmp_path, n=8)
+    conf = tmp_path / "m.conf"
+    conf.write_text(
+        YOLO_CONF.format(img=lst, init="", out="x")
+        .replace("input_model=\n", "")
+        .replace("source_train=", "source_test=")
+    )
+    net = Net(Mode.VALID)
+    load_net(net, str(conf))
+    sess = Session(net, seed=0).compile_net()
+    sess.set_data_loader(LoaderType.DETECTION_LIST, lst, None, lst, None)
+
+    for n in (5, 3):  # batch_size is 4: one over, one under
+        sess.set_mode(Mode.VALID)  # rewind the eval stream
+        res = map_eval(sess, num_images=n)
+        assert int(res["n_gt"].sum()) == n
