@@ -22,6 +22,8 @@ This is the documented fast path, not a bit-exact clone of the host chain.
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Dict
 
 import jax
@@ -157,7 +159,132 @@ def _interp_matrix(coords, n):
     return W, valid
 
 
-def _augment_one(img, params, fill=FILL, geo="full"):
+def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill):
+    """Per-row two-tap fractional shift along axis 1, gather-free.
+
+    out[r, j, c] = bilinear sample of row r at absolute x = out_x0+j+d[r],
+    where img's columns cover absolute x in [in_x0, in_x0+img.shape[1])
+    and `fill` extends outside. Computed as a sum over STATIC integer
+    shifts k in [-kmax, kmax] of hat(d[r]-k) * IMG[r, out_x0+j+k] — the
+    two-tap bilinear shift is EXACTLY the linear interpolation between
+    the two adjacent integer-shift operators, so this equals the gather
+    formulation for |d| <= kmax - 1 while lowering to dense fma sweeps
+    over statically-sliced views (TPU gathers don't vectorize; see
+    BENCHMARKS.md rotation pathology)."""
+    r, win, c = img.shape
+    lo = out_x0 - kmax  # first absolute column any term reads
+    hi = out_x0 + out_w - 1 + kmax
+    pad_l = in_x0 - lo
+    pad_r = hi - (in_x0 + win - 1)
+    if pad_l < 0:
+        img = jax.lax.slice_in_dim(img, -pad_l, win, axis=1)
+        pad_l = 0
+    if pad_r < 0:
+        img = jax.lax.slice_in_dim(img, 0, img.shape[1] + pad_r, axis=1)
+        pad_r = 0
+    imgp = jnp.pad(
+        img, ((0, 0), (pad_l, pad_r), (0, 0)), constant_values=fill
+    )
+    out = jnp.zeros((r, out_w, c), img.dtype)
+    for k in range(-kmax, kmax + 1):
+        w_k = jnp.maximum(0.0, 1.0 - jnp.abs(d - k))[:, None, None]
+        sl = jax.lax.slice_in_dim(imgp, k + kmax, k + kmax + out_w, axis=1)
+        out = out + w_k * sl
+    return out
+
+
+def _rotate_3shear(mid, theta, h, w, kx, ky, kx2, myc, mxc, fill):
+    """Pure rotation about the (h, w) frame's center, gather-free:
+    Paeth's three-shear decomposition R(theta) = Shx(-tan(theta/2)) ·
+    Shy(sin(theta)) · Shx(-tan(theta/2)), each shear an axis-separable
+    per-row/per-column fractional shift (_row_shift). `mid` is the
+    pre-rotation content on an EXPANDED canvas (h+2*myc, w+2*mxc, C)
+    with absolute origin (-myc, -mxc): rotation reads up to the rotated
+    frame's bounding box, so in-frame outputs whose pre-rotation source
+    lies outside the frame (zoom-in / shift-back compositions) see real
+    content instead of fill. Replaces the 4-tap bilinear gather for the
+    rotation warp (reference semantics: bip_rotate_image,
+    /root/reference/src/bip/src/bip.c:1202)."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    alpha = -jnp.tan(theta / 2.0)
+    beta = jnp.sin(theta)
+    # pass 1: x-shear of every content row; output columns [-kx, w-1+kx]
+    d1e = alpha * (
+        jnp.arange(h + 2 * myc, dtype=jnp.float32) - myc - cy
+    )
+    r3 = _row_shift(mid, d1e, kx2, -kx, w + 2 * kx, -mxc, fill)
+    # pass 2: y-shear over the extended columns (transpose -> rows);
+    # rows beyond the content extent read fill via _row_shift's padding
+    d2 = beta * (jnp.arange(w + 2 * kx, dtype=jnp.float32) - kx - cx)
+    r2 = jnp.transpose(
+        _row_shift(jnp.transpose(r3, (1, 0, 2)), d2, ky, 0, h, -myc, fill),
+        (1, 0, 2),
+    )
+    # pass 3: x-shear back to [0, w)
+    d1 = alpha * (jnp.arange(h, dtype=jnp.float32) - cy)
+    return _row_shift(r2, d1, kx, 0, w, -kx, fill)
+
+
+def _shear_bounds(rot_deg, h, w, s_max=1.0, txm=0.0, tym=0.0):
+    """Static (trace-time) extents for the shear chain given the cfg's
+    rotation_range (degrees, FULL width: |theta| <= rot_deg/2) and the
+    scale/shift envelopes. Returns (kx, ky, kx2, myc, mxc):
+    kx/ky/kx2 bound the per-pass shift spans; myc/mxc are the content
+    canvas half-extensions — the rotation stage reads pre-rotation
+    coordinates q with |q_x - cx| <= min(rotated-frame bbox,
+    s_max*(cx+|tx|max)) (only reads whose separable-stage source lands
+    in frame matter), +1 for the bilinear cell."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    theta_max = math.radians(rot_deg) / 2.0
+    a = math.tan(theta_max / 2.0)  # |alpha| bound
+    b = math.sin(theta_max)  # |beta| bound
+    mxc = int(min(math.ceil(cy * b),
+                  math.ceil(max(0.0, s_max * (cx + txm) - cx)))) + 1
+    myc = int(min(math.ceil(cx * b),
+                  math.ceil(max(0.0, s_max * (cy + tym) - cy)))) + 1
+    kx = int(math.ceil(a * cy)) + 1
+    kx2 = int(math.ceil(a * (cy + myc))) + 1
+    ky = int(math.ceil(b * (cx + kx))) + 1
+    return kx, ky, kx2, myc, mxc
+
+
+def _warp_separable(img, params, fill, ey=0, ex=0, edge_clamp=False):
+    """Scale/shift/flip warp as two batched two-tap interpolation matmuls
+    (out = Wx @ (Wy @ img)) on the MXU; validity/fill is the outer
+    product of the per-axis in-range masks (see _augment_one geo
+    docstring). ey/ex extend the OUTPUT canvas beyond the frame (for the
+    shear chain's expanded pre-rotation content); the frame itself stays
+    at rows [ey, ey+h), cols [ex, ex+w). edge_clamp=True replaces the
+    fill mask with edge replication (source coords clamped into the
+    frame) — the shear chain uses this so its boundary blends mimic the
+    gather's clamped-cell edge behavior; the composed-map fill mask is
+    applied downstream instead."""
+    h, w, _ = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    inv_s = 1.0 / params["scale"]
+    ys = jnp.arange(h + 2 * ey, dtype=jnp.float32) - ey
+    xs = jnp.arange(w + 2 * ex, dtype=jnp.float32) - ex
+    sy = (ys - cy) * inv_s + cy + params["ty"]
+    sx = (xs - cx) * inv_s + cx + params["tx"]
+    sx = jnp.where(params["flip"] > 0, (w - 1) - sx, sx)
+    if edge_clamp:
+        sy = jnp.clip(sy, 0, h - 1)
+        sx = jnp.clip(sx, 0, w - 1)
+    Wy, vy = _interp_matrix(sy, h)
+    Wx, vx = _interp_matrix(sx, w)
+    tmp = jnp.einsum(
+        "ih,hwc->iwc", Wy, img, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "jw,iwc->ijc", Wx, tmp, precision=jax.lax.Precision.HIGHEST
+    )
+    if edge_clamp:
+        return out
+    return jnp.where((vy[:, None] & vx[None, :])[..., None], out, fill)
+
+
+def _augment_one(img, params, fill=FILL, geo="full", rot_deg=0.0,
+                 sep=False, s_max=1.0, txm=0.0, tym=0.0):
     """img (H,W,C) float; params dict of scalars (per-image).
 
     `geo` is STATIC, decided from the cfg at trace time:
@@ -176,27 +303,53 @@ def _augment_one(img, params, fill=FILL, geo="full"):
       product of the per-axis in-range masks, exactly the gather's
       rectangle. Same values to float-reassociation tolerance (the
       4-term bilinear sum regrouped as rows-then-cols; tested).
-    - "full": rotation mixes the axes — keep the bilinear gather."""
+    - "shear": rotation requested — run the same separable warp (or the
+      plain flip when `sep` is False), then rotate about the center via
+      the Paeth three-shear decomposition (_rotate_3shear): each shear
+      is again an axis-separable two-tap interpolation, so the whole
+      chain is gather-free. The composed map equals the gather's affine
+      (flip∘translate∘scale∘rotate = G∘R with G separable), and the
+      gather's exact out-of-source fill rectangle is re-applied from the
+      closed-form composed coordinates at the end. Values differ from
+      the one-pass gather only by the standard multi-pass resampling
+      tolerance (sequential bilinear passes; tested). `rot_deg` is the
+      STATIC cfg rotation_range bounding the shear spans.
+    - "full": the 4-tap bilinear gather (kept for rotation_range > 90
+      where tan(theta/2) blows up the shear spans, and for A/B via
+      BCNN_ROT_GATHER=1)."""
     h, w, _ = img.shape
     if geo == "none":
         out = jnp.where(params["flip"] > 0, img[:, ::-1, :], img)
     elif geo == "separable":
+        out = _warp_separable(img, params, fill)
+    elif geo == "shear":
+        kx, ky, kx2, myc, mxc = _shear_bounds(rot_deg, h, w, s_max, txm,
+                                              tym)
+        if sep:
+            mid = _warp_separable(img, params, fill, ey=myc, ex=mxc,
+                                  edge_clamp=True)
+        else:
+            flipped = jnp.where(params["flip"] > 0, img[:, ::-1, :], img)
+            mid = jnp.pad(
+                flipped, ((myc, myc), (mxc, mxc), (0, 0)), mode="edge"
+            )
+        out = _rotate_3shear(mid, params["theta"], h, w, kx, ky, kx2,
+                             myc, mxc, fill)
+        # re-apply the gather path's exact fill region from the composed
+        # inverse map (flip maps the frame to itself, so it drops out of
+        # the validity test)
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+        cos_t = jnp.cos(params["theta"])
+        sin_t = jnp.sin(params["theta"])
         inv_s = 1.0 / params["scale"]
-        ys = jnp.arange(h, dtype=jnp.float32)
-        xs = jnp.arange(w, dtype=jnp.float32)
-        sy = (ys - cy) * inv_s + cy + params["ty"]
-        sx = (xs - cx) * inv_s + cx + params["tx"]
-        sx = jnp.where(params["flip"] > 0, (w - 1) - sx, sx)
-        Wy, vy = _interp_matrix(sy, h)
-        Wx, vx = _interp_matrix(sx, w)
-        tmp = jnp.einsum(
-            "ih,hwc->iwc", Wy, img, precision=jax.lax.Precision.HIGHEST
-        )
-        out = jnp.einsum(
-            "jw,iwc->ijc", Wx, tmp, precision=jax.lax.Precision.HIGHEST
-        )
-        out = jnp.where((vy[:, None] & vx[None, :])[..., None], out, fill)
+        sx = (cos_t * xs - sin_t * ys) * inv_s + cx + params["tx"]
+        sy = (sin_t * xs + cos_t * ys) * inv_s + cy + params["ty"]
+        valid = (
+            (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+        )[..., None]
+        out = jnp.where(valid, out, fill)
     else:
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
         ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
@@ -233,14 +386,37 @@ def _augment_one(img, params, fill=FILL, geo="full"):
 def _geo_mode(cfg: Dict) -> str:
     """Static (trace-time) warp classification for _augment_one's `geo`:
     "none" (flip only — lane reversal), "separable" (scale/shift but no
-    rotation — MXU matmul warp), "full" (rotation — bilinear gather)."""
-    if float(cfg.get("rotation_range", 0.0)):
+    rotation — MXU matmul warp), "shear" (rotation <= 90 deg range —
+    gather-free three-shear chain), "full" (bilinear gather: rotation
+    ranges beyond the shear decomposition's sweet spot, or forced via
+    BCNN_ROT_GATHER=1 for A/B)."""
+    rot = float(cfg.get("rotation_range", 0.0))
+    if rot:
+        if rot <= 90.0 and not os.environ.get("BCNN_ROT_GATHER"):
+            return "shear"
         return "full"
     if (float(cfg.get("min_scale", 0.0)) or float(cfg.get("max_scale", 0.0))
             or float(cfg.get("range_shift_x", 0))
             or float(cfg.get("range_shift_y", 0))):
         return "separable"
     return "none"
+
+
+def _geo_kwargs(cfg: Dict) -> Dict:
+    """Static kwargs for _augment_one derived from the cfg."""
+    geo = _geo_mode(cfg)
+    kw = dict(geo=geo)
+    if geo == "shear":
+        kw["rot_deg"] = float(cfg.get("rotation_range", 0.0))
+        lo_s = float(cfg.get("min_scale", 0.0))
+        hi_s = float(cfg.get("max_scale", 0.0))
+        txm = float(cfg.get("range_shift_x", 0)) / 2.0
+        tym = float(cfg.get("range_shift_y", 0)) / 2.0
+        kw["sep"] = bool(lo_s or hi_s or txm or tym)
+        kw["s_max"] = max(lo_s, hi_s, 1.0) if (lo_s or hi_s) else 1.0
+        kw["txm"] = txm
+        kw["tym"] = tym
+    return kw
 
 
 def _needs_geo(cfg: Dict) -> bool:
@@ -332,7 +508,7 @@ def augment_batch(
     cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
     out = jax.vmap(
-        functools.partial(_augment_one, geo=_geo_mode(cfg))
+        functools.partial(_augment_one, **_geo_kwargs(cfg))
     )(x, params)
     return (out - mean) * norm_coeff
 
@@ -425,7 +601,7 @@ def augment_batch_with_boxes(
     cfg = dict(cfg, _img_h=x.shape[1], _img_w=x.shape[2])
     params = sample_params(rng, n, cfg)
     out = jax.vmap(
-        functools.partial(_augment_one, geo=_geo_mode(cfg))
+        functools.partial(_augment_one, **_geo_kwargs(cfg))
     )(x, params)
     newlab = transform_boxes(labels, params, x.shape[1], x.shape[2])
     return (out - mean) * norm_coeff, newlab

@@ -306,7 +306,10 @@ def test_separable_warp_matches_gather_warp():
            "min_brightness": -10, "max_brightness": 10,
            "_img_h": 21, "_img_w": 15}
     assert _geo_mode(cfg) == "separable"
-    assert _geo_mode(dict(cfg, rotation_range=5.0)) == "full"
+    # rotation now classifies as the gather-free shear chain (round 5);
+    # the gather survives for ranges beyond the shear sweet spot
+    assert _geo_mode(dict(cfg, rotation_range=5.0)) == "shear"
+    assert _geo_mode(dict(cfg, rotation_range=120.0)) == "full"
     assert _geo_mode({"random_fliph": 1}) == "none"
 
     x = (np.random.RandomState(2).rand(8, 21, 15, 3) * 255).astype(
@@ -322,3 +325,140 @@ def test_separable_warp_matches_gather_warp():
     np.testing.assert_allclose(
         np.asarray(sep), np.asarray(full), rtol=1e-5, atol=1e-3
     )
+
+
+def _smooth_image(h, w):
+    """A smooth test image (gradient + two gaussian blobs): multi-pass
+    and single-pass resampling agree on band-limited content, so the
+    tolerance below measures the decomposition, not noise smoothing."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (
+        60 + 1.2 * xx + 0.8 * yy
+        + 90 * np.exp(-((xx - w * 0.3) ** 2 + (yy - h * 0.6) ** 2) / 60)
+        + 70 * np.exp(-((xx - w * 0.7) ** 2 + (yy - h * 0.3) ** 2) / 120)
+    )
+    return np.stack([img] * 3, -1)
+
+
+def test_shear_rotation_matches_gather_within_tolerance():
+    """The gather-free three-shear rotation chain (geo="shear") against
+    the one-pass bilinear gather (geo="full"), composed with scale /
+    shift / flip: the fill region must match EXACTLY (both apply the
+    same closed-form composed-map mask) and the valid region must agree
+    within the documented multi-pass resampling tolerance (sequential
+    two-tap passes vs one 4-tap pass; max ~2/255 on smooth content)."""
+    import functools
+
+    from bcnn_tpu.data.device_augment import _augment_one
+
+    h = w = 64
+    img = jnp.asarray(_smooth_image(h, w))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    cases = [  # (theta_deg, scale, tx, ty, flip)
+        (15.0, 1.0, 0.0, 0.0, 0.0),
+        (-12.0, 1.0, 0.0, 0.0, 1.0),
+        (10.0, 0.9, 3.0, -2.0, 1.0),  # zoom-out + shift + flip
+        (44.0, 1.2, -5.0, 4.0, 0.0),  # zoom-in near the 45-deg edge
+        (20.0, 0.8, 6.0, 6.0, 0.0),
+    ]
+    for theta_deg, scale, tx, ty, flip in cases:
+        th = float(np.deg2rad(theta_deg))
+        p = {
+            k: jnp.asarray([v], jnp.float32)
+            for k, v in dict(
+                theta=th, scale=scale, tx=tx, ty=ty, flip=flip,
+                contrast=1.0, brightness=0.0,
+            ).items()
+        }
+        sep = bool(scale != 1.0 or tx or ty)
+        shear = np.asarray(
+            jax.vmap(
+                functools.partial(
+                    _augment_one, geo="shear",
+                    rot_deg=2 * abs(theta_deg), sep=sep,
+                    s_max=max(scale, 1.0), txm=abs(tx), tym=abs(ty),
+                )
+            )(img[None], p)
+        )[0]
+        full = np.asarray(
+            jax.vmap(functools.partial(_augment_one, geo="full"))(
+                img[None], p
+            )
+        )[0]
+        inv_s = 1.0 / scale
+        sx = (np.cos(th) * (xx - cx) - np.sin(th) * (yy - cy)) * inv_s \
+            + cx + tx
+        sy = (np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy)) * inv_s \
+            + cy + ty
+        if flip:
+            sx = (w - 1) - sx
+        valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+        d = np.abs(shear - full)
+        if (~valid).any():
+            assert d[~valid].max() == 0.0, "fill region must be exact"
+        assert d[valid].max() < 2.5, (theta_deg, d[valid].max())
+        assert d[valid].mean() < 0.2, (theta_deg, d[valid].mean())
+
+
+def test_shear_rotation_exact_at_zero_theta():
+    """theta == 0 degenerates every shear pass to the identity shift, so
+    the shear chain must reproduce the separable warp (and hence the
+    gather) EXACTLY — wiring check for the pass offsets."""
+    import functools
+
+    from bcnn_tpu.data.device_augment import _augment_one
+
+    h, w = 33, 27
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 255)
+    p = {
+        k: jnp.asarray([v], jnp.float32)
+        for k, v in dict(
+            theta=0.0, scale=0.85, tx=2.0, ty=-3.0, flip=1.0,
+            contrast=1.0, brightness=0.0,
+        ).items()
+    }
+    shear = jax.vmap(
+        functools.partial(
+            _augment_one, geo="shear", rot_deg=10.0, sep=True,
+            s_max=1.0, txm=2.0, tym=3.0,
+        )
+    )(img[None], p)
+    full = jax.vmap(functools.partial(_augment_one, geo="full"))(
+        img[None], p
+    )
+    np.testing.assert_allclose(
+        np.asarray(shear), np.asarray(full), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_shear_rotation_through_augment_batch_with_boxes(tmp_path):
+    """End to end through the public detection entry point: a rotation
+    cfg routes to the shear chain (geo mode 'shear'), produces finite
+    normalized output, and the box labels ride the SAME composed affine
+    (transform_boxes is decomposition-independent)."""
+    from bcnn_tpu.data.device_augment import (
+        _geo_mode, augment_batch_with_boxes,
+    )
+    from bcnn_tpu.types import DETECTION_MAX_BOXES as B
+
+    cfg = {"rotation_range": 20.0, "min_scale": 0.9, "max_scale": 1.1,
+           "random_fliph": 1}
+    assert _geo_mode(cfg) == "shear"
+    x = (np.random.RandomState(3).rand(4, 32, 32, 3) * 255).astype(
+        np.uint8
+    )
+    labels = np.zeros((4, B * 5), np.float32)
+    labels[:, 0:5] = [0.5, 0.5, 0.3, 0.3, 1.0]
+    out, lab = augment_batch_with_boxes(
+        jnp.asarray(x), jnp.asarray(labels), jax.random.PRNGKey(7), cfg
+    )
+    out, lab = np.asarray(out), np.asarray(lab)
+    assert np.isfinite(out).all() and np.isfinite(lab).all()
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    lab = lab.reshape(4, B, 5)
+    kept = lab[:, 0, 0] != 0
+    assert kept.any()  # center boxes survive modest warps
+    assert (lab[kept][:, 0, 2] > 0).all()  # surviving widths positive
