@@ -185,12 +185,20 @@ def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill):
     imgp = jnp.pad(
         img, ((0, 0), (pad_l, pad_r), (0, 0)), constant_values=fill
     )
-    out = jnp.zeros((r, out_w, c), img.dtype)
-    for k in range(-kmax, kmax + 1):
-        w_k = jnp.maximum(0.0, 1.0 - jnp.abs(d - k))[:, None, None]
-        sl = jax.lax.slice_in_dim(imgp, k + kmax, k + kmax + out_w, axis=1)
-        out = out + w_k * sl
-    return out
+
+    # fori_loop, NOT an unrolled static-slice sum: XLA reassociates long
+    # add chains into a tree and keeps dozens of full-size intermediates
+    # live at once (measured 23.8 GB for batch 256 at 416 — OOM); the
+    # loop carries ONE accumulator. The loop index is a shared scalar,
+    # so under vmap the dynamic slice stays a slice (no gather).
+    def body(i, acc):
+        w_k = jnp.maximum(0.0, 1.0 - jnp.abs(d - (i - kmax)))[:, None, None]
+        sl = jax.lax.dynamic_slice_in_dim(imgp, i, out_w, axis=1)
+        return acc + w_k * sl
+
+    return jax.lax.fori_loop(
+        0, 2 * kmax + 1, body, jnp.zeros((r, out_w, c), img.dtype)
+    )
 
 
 def _rotate_3shear(mid, theta, h, w, kx, ky, kx2, myc, mxc, fill):
