@@ -11,6 +11,7 @@ from .loaders import (
 from .pipeline import BatchPipeline, ShardedBatchPipeline
 from .records import (
     EpochIndexStream,
+    ShardedEpochIndexStream,
     RawRecordLoader,
     records_from_loader,
     write_records,

@@ -294,3 +294,49 @@ class EpochIndexStream:
             pos += take
         self.pos = pos
         return out.reshape(k, self.batch)
+
+
+class ShardedEpochIndexStream:
+    """Index stream for the SHARDED device-resident feed
+    (parallel.make_dp_train_scan_resident_sharded): the dataset lives as
+    D shards of n/D samples, and every batch is STRATIFIED — exactly
+    batch/D samples from each shard, drawn from D independent per-shard
+    epoch shuffles (each shard's samples appear once per local epoch).
+    next(k) returns (k, D, batch/D) int32 LOCAL indices.
+
+    One absolute `pos` counter (in global samples) checkpoints/resumes
+    the whole stream: all shard streams advance in lockstep, so pos/D
+    positions each of them — the same recovery contract as
+    EpochIndexStream."""
+
+    def __init__(self, n: int, batch: int, d_shards: int, seed: int = 0,
+                 shuffle: bool = True):
+        if n % d_shards or batch % d_shards:
+            raise ValueError(
+                f"n={n} and batch={batch} must divide by D={d_shards}"
+            )
+        self.n, self.batch, self.d = n, batch, d_shards
+        self._streams = [
+            EpochIndexStream(
+                n // d_shards, batch // d_shards,
+                seed=int(np.random.SeedSequence(
+                    [seed, s]).generate_state(1)[0]),
+                shuffle=shuffle,
+            )
+            for s in range(d_shards)
+        ]
+
+    @property
+    def pos(self) -> int:
+        return self._streams[0].pos * self.d
+
+    @pos.setter
+    def pos(self, p: int):
+        if p % self.d:
+            raise ValueError(f"pos {p} not divisible by D={self.d}")
+        for s in self._streams:
+            s.pos = p // self.d
+
+    def next(self, k: int) -> np.ndarray:
+        """(k, D, batch/D) int32 local per-shard indices."""
+        return np.stack([s.next(k) for s in self._streams], axis=1)

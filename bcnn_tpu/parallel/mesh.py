@@ -193,6 +193,99 @@ def make_dp_train_scan_resident(net: Net, mesh: Mesh,
     )
 
 
+def shard_resident_dataset(mesh: Mesh, dataset: Dict, axis: str = BATCH_AXIS):
+    """Reshape a (n, ...) resident dataset into (D, n/D, ...) and place
+    shard d in device d's memory ONLY — per-device bytes are total/D,
+    against the replicated feed's total per device
+    (make_dp_train_scan_resident). n must divide by the mesh axis size;
+    trim or pad the record set to a multiple first."""
+    d = mesh.shape[axis]
+    sh = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        n = x.shape[0]
+        if n % d:
+            raise ValueError(f"dataset size {n} not divisible by {d}")
+        return jax.device_put(
+            jnp.asarray(x).reshape((d, n // d) + x.shape[1:]), sh
+        )
+
+    return jax.tree.map(put, dataset)
+
+
+def make_dp_train_scan_resident_sharded(net: Net, mesh: Mesh,
+                                        device_augment=None,
+                                        axis: str = BATCH_AXIS):
+    """Device-resident DP feed that SHARDS the dataset over the mesh's
+    batch axis instead of replicating it: n devices hold n x the data
+    (shard_resident_dataset), each device gathers its stripe of every
+    batch from ITS OWN shard, and nothing about the dataset crosses ICI.
+
+    Sampling semantics (documented, intentional): the batch is
+    STRATIFIED by shard — each global batch takes exactly B/D samples
+    from every shard, and each shard's samples appear exactly once per
+    local epoch (data.ShardedEpochIndexStream). This is the standard
+    per-host sharded-input semantics of DP training, vs the replicated
+    feed's single global shuffle; per-STEP numerics given the same
+    realized index sets are identical (test_parallel.py).
+
+    dataset: (D, n/D, ...) arrays from shard_resident_dataset;
+    idx: (K, D, B/D) int32 LOCAL indices (ShardedEpochIndexStream.next),
+    sharded (None, axis, None). The per-shard gather is a vmap over the
+    shard axis — operands are aligned on the mesh axis, so GSPMD keeps
+    every gather local (no all-gather of the dataset; asserted in
+    test_parallel.py via per-device buffer sizes)."""
+    from ..compile import _make_train_loss_fn
+    from ..learner import apply_updates
+
+    if device_augment is None:
+        device_augment = getattr(net, "device_augment", None)
+    loss_fn = _make_train_loss_fn(net, device_augment)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P(axis))
+    ish = NamedSharding(mesh, P(None, axis, None))
+    bsh = NamedSharding(mesh, P(axis))
+
+    def core(params, state, opt_state, dataset, idx, rng):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            i, key = xs  # i: (D, B/D) local indices
+
+            def take(ds, ii):
+                return jax.vmap(lambda s, j: jnp.take(s, j, axis=0))(
+                    ds, ii
+                )
+
+            x = take(dataset["input"], i)  # (D, B/D, ...)
+            y = take(dataset["label"], i)
+            x = jax.lax.with_sharding_constraint(
+                x.reshape((-1,) + x.shape[2:]), bsh
+            )
+            y = jax.lax.with_sharding_constraint(
+                y.reshape((-1,) + y.shape[2:]), bsh
+            )
+            (_, (state2, loss, _ys)), grads = grad_fn(
+                params, state, {"input": x, "label": y}, key
+            )
+            params2, opt2 = apply_updates(net, params, grads, opt_state)
+            return (params2, state2, opt2), loss
+
+        keys = jax.random.split(rng, idx.shape[0])
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), (idx, keys)
+        )
+        return params, state, opt_state, losses
+
+    return jax.jit(
+        core,
+        in_shardings=(repl, repl, repl, dsh, ish, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
 def make_spatial_forward(net: Net, mesh: Mesh, output_names,
                          axis: str = BATCH_AXIS):
     """Spatial partitioning: shard the image HEIGHT across the mesh —

@@ -109,8 +109,11 @@ def make_records(args):
     from train_throughput import write_dataset
 
     os.makedirs(args.outdir, exist_ok=True)
-    rec = os.path.join(args.outdir, f"soak_{args.size}_n{args.images}.bcrd")
-    erec = os.path.join(args.outdir, f"soak_eval_{args.size}_n{args.batch}.bcrd")
+    # "soakl": the learnable-objects generator (round 5) — class-colored
+    # shapes under the boxes, so held-out detection metrics can move;
+    # the old "soak_" records (noise + uncorrelated boxes) are stale
+    rec = os.path.join(args.outdir, f"soakl_{args.size}_n{args.images}.bcrd")
+    erec = os.path.join(args.outdir, f"soakl_eval_{args.size}_n{args.batch}.bcrd")
     if not os.path.exists(rec):
         lst = write_dataset(args.outdir, args.images, args.src_size,
                             int(args.src_size * 0.75))
@@ -128,6 +131,22 @@ def make_records(args):
             DetectionListLoader(build_net(args, "valid"), elst), erec,
             args.batch)
     return rec, erec
+
+
+def _map50(boxes, scores, labels):
+    """mAP@0.5 of one detect-pipeline batch against record labels
+    ((B, 50*5) normalized [x,y,w,h,class], first x==0 terminates)."""
+    from bcnn_tpu.metrics_det import dets_to_rows, evaluate_detections
+
+    preds, gts = [], []
+    for i in range(boxes.shape[0]):
+        preds.append(dets_to_rows(boxes[i], scores[i]))
+        lab = np.asarray(labels[i]).reshape(-1, 5)
+        zero = np.nonzero(lab[:, 0] == 0)[0]
+        gts.append((lab[: zero[0]] if len(zero) else lab).astype(
+            np.float64))
+    res = evaluate_detections(preds, gts, 80, iou_thresholds=(0.5,))
+    return float(res["map50"])
 
 
 def run(args):
@@ -172,6 +191,8 @@ def run(args):
 
     eval_step = None  # compiled lazily at the first eval point (timed)
     eval_batch = None
+    detect_fn = None  # compiled lazily at the first --eval-map point
+    map_batches = None
 
     K, B = args.scan, args.batch
     C, H, W = 3, args.size, args.size
@@ -295,6 +316,39 @@ def run(args):
             log_event(logp, "eval", i=i, loss=round(ev, 3),
                       sec=round(time.perf_counter() - te, 3))
             t_sync_prev = time.perf_counter()
+        if args.eval_map and i % args.eval_map == 0:
+            if pending is not None:
+                np.asarray(pending[1])
+                log_event(logp, "d", i=pending[0], dt=None, loss=None)
+                pending = None
+            tm = time.perf_counter()
+            if detect_fn is None:
+                from bcnn_tpu.compile import make_detect_fn
+
+                # make_detect_fn executes in PREDICT internally, so the
+                # TRAIN net can be reused; one extra HLO, compiled once
+                detect_fn = jax.jit(
+                    make_detect_fn(net, thresh=0.005, max_dets=100)
+                )
+                map_batches = {}
+                for tag, path in (("val", erec), ("train", rec)):
+                    ml = RawRecordLoader(net, path)
+                    xm, ym = ml.next_batch()
+                    ml.close()
+                    map_batches[tag] = (
+                        jax.device_put({"input": jnp.asarray(
+                            (xm.astype(np.float32) - 127.5) / 127.5)}),
+                        ym,
+                    )
+            ent = {}
+            for tag, (mb, ym) in map_batches.items():
+                bx, sc, _o = detect_fn(params, state, mb)
+                ent[tag] = round(_map50(np.asarray(bx), np.asarray(sc),
+                                        ym), 4)
+            log_event(logp, "eval_map", i=i, map50_val=ent["val"],
+                      map50_train=ent["train"],
+                      sec=round(time.perf_counter() - tm, 3))
+            t_sync_prev = time.perf_counter()
         if args.ckpt_every and i % args.ckpt_every == 0:
             if pending is not None:
                 np.asarray(pending[1])
@@ -351,6 +405,8 @@ def report(args):
                 cur["d"].append(e["dt"])
         elif e["ev"] == "eval":
             cur["eval"].append(e)
+        elif e["ev"] == "eval_map":
+            cur.setdefault("eval_map", []).append(e)
         elif e["ev"] == "ckpt":
             cur["ckpt"].append(e["sec"])
         elif e["ev"] == "mem":
@@ -372,6 +428,7 @@ def report(args):
     dts = np.asarray(sum((s["d"] for s in segs), []))
     mems = sum((s["mem"] for s in segs), [])
     evals = sum((s["eval"] for s in segs), [])
+    maps = sum((s.get("eval_map", []) for s in segs), [])
     per_step = dts / scan * 1e3
     out = {
         "steps": int(steps),
@@ -396,6 +453,14 @@ def report(args):
         "eval_n": len(evals),
         "eval_first_last_loss": [evals[0]["loss"], evals[-1]["loss"]]
         if evals else None,
+        # the generalization trajectory (held-out mAP over training):
+        # [dispatch, val, train] triples, thinned to <= 20 points
+        "map50_trajectory": [
+            [e["i"], e["map50_val"], e["map50_train"]]
+            for e in maps[:: max(1, len(maps) // 20)]
+        ] if maps else None,
+        "map50_val_last": maps[-1]["map50_val"] if maps else None,
+        "map50_train_last": maps[-1]["map50_train"] if maps else None,
         "ckpt_n": sum(len(s["ckpt"]) for s in segs),
         "ckpt_s_mean": round(float(np.mean(sum((s["ckpt"] for s in segs),
                                                []) or [0])), 2),
@@ -448,6 +513,11 @@ def main():
                     "send (K,B) int32 indices only")
     ap.add_argument("--eval-every", type=int, default=50,
                     help="eval cadence, in scan dispatches (0 = off)")
+    ap.add_argument("--eval-map", type=int, default=0,
+                    help="held-out mAP cadence, in scan dispatches "
+                    "(0 = off): runs the detect pipeline on one batch "
+                    "of the HELD-OUT record set and one batch of the "
+                    "train set, logging map50_val / map50_train")
     ap.add_argument("--ckpt-every", type=int, default=100,
                     help="checkpoint cadence, in scan dispatches (0 = off)")
     ap.add_argument("--mem-every", type=int, default=50)

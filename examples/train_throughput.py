@@ -49,25 +49,59 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bcnn_tpu_jax_cache")
 import numpy as np
 
 
-def write_dataset(outdir, n, src_w, src_h, seed=0):
-    """Synthetic COCO-shaped detection data: n PNGs + one list file."""
+# 8 visually distinct object colors; the class id IS the color (plus a
+# shape bit), so a detector can generalize to unseen images — the round-4
+# generator put random boxes on pure noise (no pixel evidence), which
+# made held-out metrics structurally unlearnable (VERDICT r4 item 1).
+_PALETTE = [
+    (230, 40, 30), (40, 230, 60), (50, 80, 235), (235, 220, 40),
+    (235, 50, 220), (40, 225, 225), (245, 140, 30), (240, 240, 240),
+]
+
+
+def write_dataset(outdir, n, src_w, src_h, seed=0, classes=8,
+                  boxes_per_img=(1, 3)):
+    """Synthetic LEARNABLE detection data: n PNGs + one list file.
+    Dark-noise background, each labeled box drawn as a filled class-
+    colored rectangle (even class) or ellipse (odd class) with a small
+    brightness jitter. Two calls with different seeds give disjoint
+    train/val splits of the same task."""
     from bcnn_tpu import bip
 
     rng = np.random.RandomState(seed)
-    lst = os.path.join(outdir, f"train_n{n}_s{src_w}.txt")
+    lst = os.path.join(outdir, f"det_n{n}_s{src_w}_seed{seed}.txt")
     if os.path.exists(lst) and len(open(lst).readlines()) == n:
         return lst  # reuse across runs (PNG encode is slow)
+    yy, xx = np.mgrid[0:src_h, 0:src_w]
     lines = []
     for i in range(n):
-        img = (rng.rand(src_h, src_w, 3) * 255).astype(np.uint8)
-        p = os.path.join(outdir, f"im{i}_s{src_w}.png")
+        img = (rng.rand(src_h, src_w, 3) * 110).astype(np.uint8)
+        labs = []
+        for _ in range(rng.randint(boxes_per_img[0], boxes_per_img[1] + 1)):
+            c = rng.randint(classes)
+            cx, cy = rng.uniform(0.12, 0.88, 2)
+            bw = rng.uniform(0.08, 0.3)
+            bh = rng.uniform(0.08, 0.3)
+            x0 = (cx - bw / 2) * src_w
+            x1 = (cx + bw / 2) * src_w
+            y0 = (cy - bh / 2) * src_h
+            y1 = (cy + bh / 2) * src_h
+            if c % 2 == 0:  # rectangle
+                m = (xx >= x0) & (xx < x1) & (yy >= y0) & (yy < y1)
+            else:  # ellipse inscribed in the box
+                m = (
+                    ((xx - cx * src_w) / max(bw * src_w / 2, 1)) ** 2
+                    + ((yy - cy * src_h) / max(bh * src_h / 2, 1)) ** 2
+                ) <= 1.0
+            jit = rng.uniform(0.75, 1.0)
+            col = np.array(_PALETTE[c % len(_PALETTE)]) * jit
+            img[m] = col.astype(np.uint8)
+            labs.append(
+                f"{c} {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}"
+            )
+        p = os.path.join(outdir, f"im{i}_s{src_w}_seed{seed}.png")
         bip.write_image(p, img)
-        boxes = " ".join(
-            f"{rng.randint(80)} {rng.rand():.4f} {rng.rand():.4f} "
-            f"{0.05 + rng.rand() * 0.3:.4f} {0.05 + rng.rand() * 0.3:.4f}"
-            for _ in range(2)
-        )
-        lines.append(f"{p} {boxes}")
+        lines.append(f"{p} " + " ".join(labs))
     with open(lst, "w") as f:
         f.write("\n".join(lines) + "\n")
     return lst

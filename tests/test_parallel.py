@@ -611,3 +611,106 @@ def test_dp_resident_scan_matches_single_device(mesh8):
             np.asarray(p1[k]), np.asarray(p8[k]), rtol=1e-2, atol=5e-3,
             err_msg=k,
         )
+
+
+def test_sharded_resident_feed_matches_replicated(mesh8):
+    """The SHARDED device-resident feed (dataset split over the DP axis,
+    parallel.make_dp_train_scan_resident_sharded) against the replicated
+    feed given the SAME realized per-step sample sets: identical per-step
+    losses and parameters, while each device holds only n/D samples of
+    the dataset (the capacity point of the sharded design)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bcnn_tpu.parallel import (
+        make_dp_train_scan_resident,
+        make_dp_train_scan_resident_sharded,
+        shard_resident_dataset,
+    )
+
+    K, batch, n, D = 3, 16, 64, 8
+    rng = np.random.RandomState(7)
+    ds_x = rng.randint(0, 256, (n, 1, 28, 28)).astype(np.uint8)
+    ds_y = np.zeros((n, 10, 1, 1), np.float32)
+    ds_y[np.arange(n), rng.randint(0, 10, n)] = 1.0
+    # local per-shard indices (K, D, B/D); the equivalent GLOBAL indices
+    # for the replicated feed are shard*(n/D) + local
+    idx_local = rng.randint(0, n // D, (K, D, batch // D)).astype(np.int32)
+    idx_global = (
+        idx_local + (np.arange(D, dtype=np.int32) * (n // D))[None, :, None]
+    ).reshape(K, batch)
+    aug = {"random_fliph": 1, "min_brightness": -20, "max_brightness": 20}
+
+    def build():
+        net = lenet_mnist(batch_size=batch)
+        net.set_sgd_optimizer(0.05, 0.9)
+        net.device_augment = aug
+        return net
+
+    key = jax.random.PRNGKey(3)
+    sr = Session(build(), seed=0).compile_net()
+    scan_r = make_dp_train_scan_resident(build(), mesh8)
+    ish_r = NamedSharding(mesh8, P(None, "batch"))
+    pr, _, _, lr = scan_r(
+        replicate(mesh8, sr.params), replicate(mesh8, sr.state),
+        replicate(mesh8, sr.opt_state),
+        replicate(mesh8, {"input": ds_x, "label": ds_y}),
+        jax.device_put(jnp.asarray(idx_global), ish_r), key,
+    )
+
+    ss = Session(build(), seed=0).compile_net()
+    scan_s = make_dp_train_scan_resident_sharded(build(), mesh8)
+    dataset_s = shard_resident_dataset(
+        mesh8, {"input": ds_x, "label": ds_y}
+    )
+    # capacity: every device holds exactly ONE (n/D)-sample shard, not
+    # the whole set (the replicated feed stores all n per device)
+    for arr in dataset_s.values():
+        assert arr.shape[0] == D and arr.shape[1] == n // D
+        for sh in arr.addressable_shards:
+            assert sh.data.shape[0] == 1, sh.data.shape
+    ish_s = NamedSharding(mesh8, P(None, "batch", None))
+    ps, _, _, ls = scan_s(
+        replicate(mesh8, ss.params), replicate(mesh8, ss.state),
+        replicate(mesh8, ss.opt_state),
+        dataset_s,
+        jax.device_put(jnp.asarray(idx_local), ish_s), key,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lr), np.asarray(ls), rtol=1e-5, atol=1e-7
+    )
+    for k in pr:
+        np.testing.assert_allclose(
+            np.asarray(pr[k]), np.asarray(ps[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_sharded_epoch_index_stream_semantics():
+    """ShardedEpochIndexStream: stratified batches (B/D local indices per
+    shard), each shard's samples exactly once per local epoch, and the
+    single-pos checkpoint/resume contract."""
+    from bcnn_tpu.data import ShardedEpochIndexStream
+
+    n, batch, D = 48, 12, 4
+    st = ShardedEpochIndexStream(n, batch, D, seed=5)
+    k_per_epoch = n // batch  # 4 steps = one local epoch everywhere
+    idx = st.next(k_per_epoch)
+    assert idx.shape == (k_per_epoch, D, batch // D)
+    assert idx.dtype == np.int32
+    for d in range(D):
+        seen = np.sort(idx[:, d, :].ravel())
+        np.testing.assert_array_equal(seen, np.arange(n // D))
+    assert st.pos == n
+    # resume: same pos -> same continuation
+    st2 = ShardedEpochIndexStream(n, batch, D, seed=5)
+    st2.pos = st.pos
+    np.testing.assert_array_equal(st.next(3), st2.next(3))
+    # shards shuffle independently (different permutations)
+    st3 = ShardedEpochIndexStream(n, batch, D, seed=5)
+    first = st3.next(k_per_epoch)
+    assert not all(
+        np.array_equal(first[:, 0, :], first[:, d, :]) for d in range(1, D)
+    )
+    with np.testing.assert_raises(ValueError):
+        ShardedEpochIndexStream(50, batch, D)  # n not divisible

@@ -34,10 +34,16 @@ def test_soak_two_segments_resume_and_report(tmp_path):
     # segment 1: 4 dispatches (8 steps)
     run_soak(common + ["--steps", "8"], REPO)
     assert os.path.exists(os.path.join(d, "ckpt_latest.npz"))
-    # segment 2: resume to 16 steps total
-    out = run_soak(common + ["--steps", "16", "--resume"], REPO)
+    # segment 2: resume to 16 steps total, with the held-out mAP eval on
+    # (exercises the detect-pipeline eval path and its log/report fields)
+    out = run_soak(
+        common + ["--steps", "16", "--resume", "--eval-map", "4"], REPO
+    )
     rep = json.loads(out.strip().splitlines()[-1])
     assert rep["steps"] == 16
+    assert rep["map50_val_last"] is not None
+    assert 0.0 <= rep["map50_val_last"] <= 1.0
+    assert rep["map50_trajectory"]
     assert rep["segments"] == 2
     assert rep["steps_redone_after_kill"] == 0
     assert rep["img_s_whole_run"] > 0
