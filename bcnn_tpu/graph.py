@@ -110,7 +110,15 @@ class Learner:
     beta2: float = 0.999
     decay_type: LrDecay = LrDecay.CONSTANT
     gamma: float = 0.0
-    scale: float = 1.0
+    # 0.0 = the reference's calloc default (bcnn_net.c:79), which NO user
+    # path can change (the conf grammar has no `scale` key and
+    # bcnn_set_learner ignores every field but the optimizer,
+    # bcnn_net.c:485-488) — so reference STEP decay is base*0^(iter/step):
+    # full LR for iter < step, then LR = 0 FOREVER (training freezes).
+    # Found by the round-5 training-trajectory fuzzer (seed 65 diverged at
+    # exactly iter 8 with step=8). Our conf dialect accepts `scale` as an
+    # extension for a usable step decay.
+    scale: float = 0.0
     power: float = 0.0
     max_batches: int = 0
     step: int = 1
