@@ -283,6 +283,17 @@ class _Executor:
             for s, old in swapped.items():
                 if s not in node.dst:  # in-place nodes keep their write
                     self.values[s] = old
+            # net.value_hooks: {tensor index -> fn(array) -> array},
+            # applied to a node's freshly produced value. Profiling /
+            # experiment surface (e.g. jax.lax.optimization_barrier to
+            # pin a fusion boundary, jax.debug hooks); empty in
+            # production paths.
+            hooks = getattr(self.net, "value_hooks", None)
+            if hooks:
+                for d in node.dst:
+                    fn = hooks.get(d)
+                    if fn is not None:
+                        self.values[d] = fn(self.values[d])
             for d in node.dst:
                 rec = route.get((d, i))
                 if rec:
