@@ -7,13 +7,15 @@ and draws/prints the detections.
 Image mode (yolo_example.cc image path):
   python examples/yolo_example.py <image> [cfg] [weights]
 
-Video mode (yolo_example.cc:219-240's OpenCV loop, rebuilt without
-OpenCV): the frame source is a directory of image frames or a raw .y4m
-video; decode of frame N+1 overlaps device inference of frame N
-(host-side prefetch thread — the TPU analogue of the reference's
-capture-then-infer loop), annotated frames are written out with per-
-frame latency and aggregate FPS:
-  python examples/yolo_example.py video <frames-dir|clip.y4m> \\
+Video mode (yolo_example.cc:219-240's OpenCV loop): the frame source is
+a directory of image frames, a raw .y4m video (both dependency-free), a
+webcam device index "0"/"1", or any cv2-decodable video file (the
+reference's open_video dispatch, yolo_example.cc:110-124); decode of
+frame N+1 overlaps device inference of frame N (host-side prefetch
+thread — the TPU analogue of the reference's capture-then-infer loop),
+annotated frames are written out with per-frame latency and aggregate
+FPS:
+  python examples/yolo_example.py video <frames-dir|clip.y4m|0|clip.avi> \\
       [cfg] [weights] [--out outdir]
 """
 
@@ -101,6 +103,27 @@ def read_y4m_frames(path):
             ).astype(np.uint8)
 
 
+def read_cv2_frames(source):
+    """OpenCV capture source, matching the reference's `open_video`
+    dispatch (yolo_example.cc:110-124): source "0"/"1" opens the webcam
+    at that device index, anything else is any cv2-decodable video file.
+    Yields HWC uint8 RGB frames. Needs cv2; the y4m / frame-dir sources
+    carry no such dependency."""
+    import cv2
+
+    cap = cv2.VideoCapture(int(source) if source in ("0", "1") else source)
+    if not cap.isOpened():
+        raise IOError(f"failed to open video source {source!r}")
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            yield frame[..., ::-1].copy()  # cv2 is BGR; the loop wants RGB
+    finally:
+        cap.release()
+
+
 def read_dir_frames(path):
     from bcnn_tpu import bip
 
@@ -142,11 +165,12 @@ def run_video(source, net, sess, out_dir, thresh=0.5, max_frames=None):
     from bcnn_tpu import bip
 
     netw, neth = net.tensors[0].w, net.tensors[0].h
-    frames = (
-        read_y4m_frames(source)
-        if source.endswith(".y4m")
-        else read_dir_frames(source)
-    )
+    if source.endswith(".y4m"):
+        frames = read_y4m_frames(source)
+    elif os.path.isdir(source):
+        frames = read_dir_frames(source)
+    else:  # "0"/"1" webcam index or a cv2-decodable video file
+        frames = read_cv2_frames(source)
     q = queue.Queue(maxsize=2)  # double buffer
 
     def producer():

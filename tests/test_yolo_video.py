@@ -106,3 +106,66 @@ def test_video_loop_frame_dir(tmp_path):
     out = str(tmp_path / "dets")
     n, _ = run_video(str(src), net, sess, out)
     assert n == 3 and len(os.listdir(out)) == 3
+
+
+def _write_avi(path, frames, fps=25):
+    cv2 = __import__("cv2")
+    h, w = frames[0].shape[:2]
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h)
+    )
+    assert wr.isOpened()
+    for rgb in frames:
+        wr.write(rgb[..., ::-1].copy())  # writer takes BGR
+    wr.release()
+
+
+def test_cv2_reader_roundtrip(tmp_path):
+    """read_cv2_frames (the reference's open_video file path,
+    yolo_example.cc:110-124) decodes an MJPG avi back to RGB frames."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    from yolo_example import read_cv2_frames
+
+    ys, xs = np.mgrid[0:48, 0:64].astype(np.float32)
+    frames = [
+        np.stack(
+            [(xs * 4 + k * 30) % 256, (ys * 5) % 256, ((xs + ys) * 2) % 256],
+            -1,
+        ).astype(np.uint8)
+        for k in range(5)
+    ]
+    clip = str(tmp_path / "clip.avi")
+    _write_avi(clip, frames)
+    got = list(read_cv2_frames(clip))
+    assert len(got) == 5
+    for a, b in zip(got, frames):
+        assert a.shape == b.shape and a.dtype == np.uint8
+        # MJPG is lossy; mean absolute error must stay small and the
+        # channel order must be RGB (red gradient along x, not swapped)
+        assert np.abs(
+            a.astype(np.float32) - b.astype(np.float32)
+        ).mean() < 12.0
+
+
+def test_video_loop_cv2_capture(tmp_path):
+    """The full video loop over a cv2 capture source — the executable
+    equivalent of the reference's webcam/video branch."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    from yolo_example import run_video
+
+    rng = np.random.RandomState(3)
+    frames = [
+        (rng.rand(48, 64, 3) * 255).astype(np.uint8) for _ in range(3)
+    ]
+    clip = str(tmp_path / "clip.avi")
+    _write_avi(clip, frames)
+    net = yolov3_tiny(batch_size=1, width=64, height=64, classes=4,
+                      mode=Mode.PREDICT)
+    sess = Session(net, seed=0).compile_net()
+    out = str(tmp_path / "dets")
+    n, _ = run_video(clip, net, sess, out, thresh=0.1)
+    assert n == 3 and len(os.listdir(out)) == 3
