@@ -154,7 +154,13 @@ def calibrate(
         would clip too aggressively or absmax would over-cover.
     The PTQ accuracy studies (tests/test_quant_accuracy.py) compare all
     three per architecture; absmax stays the default because the studied
-    nets show no outlier pathology (BENCHMARKS.md)."""
+    classification nets show no outlier pathology (BENCHMARKS.md).
+    DETECTION discriminates (round 5, held-out mAP@0.5 on a trained
+    yolov3-tiny, BENCHMARKS.md): percentile 0.920 > absmax 0.821 >
+    kl 0.711 vs fp32 0.967 — the yolo head's box-regression tail is
+    informative, so entropy calibration clips it too hard and absmax
+    wastes resolution on rare spikes. Use method="percentile" when
+    quantizing detectors."""
     from ..compile import execute
 
     watch = watch_tensors(net)

@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--qat-steps", type=int, default=150)
     ap.add_argument("--qat-batch", type=int, default=64)
     ap.add_argument("--calib-batches", type=int, default=2)
+    ap.add_argument("--calib-chunk", type=int, default=32)
+    ap.add_argument("--qat-lr", type=float, default=1e-4,
+                    help="fine-tune LR; the checkpoint is converged, so "
+                         "default is 10x below the from-scratch 1e-3")
+    ap.add_argument("--stages", default="fp32,ptq,qat",
+                    help="comma subset of fp32,ptq,qat (reruns skip "
+                         "recompiling finished stages)")
     args = ap.parse_args()
 
     import jax
@@ -82,26 +89,34 @@ def main():
     xe, ye = el.next_batch()
     el.close()
     xe = jnp.asarray((xe.astype(np.float32) - 127.5) / 127.5)
-    tl = RawRecordLoader(yolov3_tiny(batch_size=args.batch, mode=Mode.VALID),
-                         rec)
+    # calibration batches stay SMALL: calibrate() runs the executor
+    # eagerly and keeps every watched activation alive, so a 256@416
+    # batch (~8 GB of fp32 intermediates) exhausts v5e HBM — measured
+    # round 5. Same image budget, chunked.
+    n_cal = args.calib_batches * args.batch
+    tl = RawRecordLoader(
+        yolov3_tiny(batch_size=args.calib_chunk, mode=Mode.VALID), rec
+    )
     calib = []
-    for _ in range(args.calib_batches):
+    for _ in range(n_cal // args.calib_chunk):
         xt, _yt = tl.next_batch()
         calib.append((xt.astype(np.float32) - 127.5) / 127.5)
     tl.close()
 
     results = {}
+    stages = set(args.stages.split(","))
 
     # fp32 serving path (bf16 MXU compute like the bench's forward base)
     net = yolov3_tiny(batch_size=args.batch, width=args.size,
                       height=args.size, mode=Mode.PREDICT)
     net.compute_dtype = jnp.bfloat16
     detect = jax.jit(make_detect_fn(net, thresh=0.005, max_dets=100))
-    results["fp32"] = map50_of(detect, params, state, xe, ye)
-    print(f"fp32: {results['fp32']}", file=sys.stderr, flush=True)
+    if "fp32" in stages:
+        results["fp32"] = map50_of(detect, params, state, xe, ye)
+        print(f"fp32: {results['fp32']}", file=sys.stderr, flush=True)
 
     # PTQ int8 through the serving path, three calibrators
-    for method in ("absmax", "percentile", "kl"):
+    for method in ("absmax", "percentile", "kl") if "ptq" in stages else ():
         netq = yolov3_tiny(batch_size=args.batch, width=args.size,
                            height=args.size, mode=Mode.PREDICT)
         netq.compute_dtype = jnp.bfloat16
@@ -117,11 +132,12 @@ def main():
 
     # QAT: short fake-quant fine-tune from the checkpoint, then freeze
     # into the same int8 serving path
-    if args.qat_steps > 0:
+    if args.qat_steps > 0 and "qat" in stages:
         from bcnn_tpu.compile import make_train_scan
 
         nett = yolov3_tiny(batch_size=args.qat_batch, width=args.size,
                            height=args.size, mode=Mode.TRAIN)
+        nett.set_sgd_optimizer(learning_rate=args.qat_lr, momentum=0.9)
         nett.compute_dtype = jnp.bfloat16
         nett.train_act_dtype = jnp.bfloat16
         nett.qat = True
@@ -160,6 +176,11 @@ def main():
         pf = {k: np.asarray(v) for k, v in p.items()}
         sf = {k: np.asarray(v) for k, v in s.items()
               if not k.startswith("qat_")}
+        # fp32 eval of the fine-tuned weights: separates "the fine-tune
+        # damaged the model" from "the freeze/int8 path damaged it"
+        results["qat_fp32"] = map50_of(detect, pf, sf, xe, ye)
+        print(f"qat_fp32: {results['qat_fp32']}", file=sys.stderr,
+              flush=True)
         results["qat_int8"] = map50_of(detf, pf, sf, xe, ye)
         print(f"qat_int8: {results['qat_int8']}", file=sys.stderr,
               flush=True)
