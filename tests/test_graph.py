@@ -108,3 +108,53 @@ def test_param_key_uniquification():
     )
     keys = [t.key for t in net.param_specs()]
     assert len(keys) == len(set(keys))
+
+
+def test_executor_value_hooks():
+    """net.value_hooks ({tensor idx -> fn}) transforms a node's freshly
+    produced value inside the traced program — the profiling/experiment
+    surface (e.g. jax.lax.optimization_barrier to pin a fusion boundary,
+    tools/attribution_experiments.py)."""
+    from bcnn_tpu import Session
+    from bcnn_tpu.compile import execute, output_value
+    from bcnn_tpu.types import Mode as M
+
+    def build():
+        net = Net(Mode.PREDICT)
+        net.set_input_shape(8, 8, 3, 2)
+        net.add_convolutional_layer(
+            4, 3, 1, 1, 1, 0, FillerType.XAVIER, Activation.RELU, 0,
+            "input", "c1",
+        )
+        net.add_convolutional_layer(
+            4, 1, 1, 0, 1, 0, FillerType.XAVIER, Activation.NONE, 0,
+            "c1", "c2",
+        )
+        return net
+
+    net = build()
+    sess = Session(net, seed=3).compile_net()
+    x = np.random.RandomState(0).rand(2, 3, 8, 8).astype(np.float32)
+
+    def run(n):
+        ex = execute(n, sess.params, sess.state, {"input": x}, M.PREDICT)
+        return np.asarray(output_value(ex, n.get_tensor_index_by_name("c2")))
+
+    base = run(net)
+
+    hooked = build()
+    hooked.value_hooks = {
+        hooked.get_tensor_index_by_name("c1"): lambda v: v * 2.0
+    }
+    doubled_mid = run(hooked)
+    # c2 is linear in c1: doubling c1's value doubles c2
+    np.testing.assert_allclose(doubled_mid, base * 2.0, rtol=1e-5)
+
+    # identity-semantics hook (the barrier use case) changes nothing
+    import jax
+
+    barrier = build()
+    barrier.value_hooks = {
+        barrier.get_tensor_index_by_name("c1"): jax.lax.optimization_barrier
+    }
+    np.testing.assert_allclose(run(barrier), base, rtol=0, atol=0)
