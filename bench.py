@@ -127,12 +127,18 @@ def main():
     # second and reported in the same JSON line for continuity.
     mode = os.environ.get("BENCH_MODE", "serve")
     # forward|detect|int8|detect_int8|serve|train
-    # batch 512 is the measured per-chip sweet spot for the act16 forward
-    # (10,649 vs 9,921 img/s at 256 — the bf16 boundary storage halves the
-    # live set, so 512 now amortizes the dispatch floor instead of
-    # thrashing HBM; BENCHMARKS.md). The target is img/s/chip, batch-free.
+    # Default batch picks each mode's measured-best bucket (BENCHMARKS.md
+    # primary table): the int8 serve pipeline is fastest at 1024 (12,886
+    # vs 12,100 img/s at 512 — the light int8 program amortizes the
+    # dispatch floor and top-k tail further than bf16 does), while the
+    # bf16 predict modes peak at 512 (10,649 vs 9,921 at 256; 1024 adds
+    # ~2%, within session jitter, and doubles staging memory). The
+    # target is img/s/chip, batch-free.
     batch = int(
-        os.environ.get("BENCH_BATCH", "64" if mode == "train" else "512")
+        os.environ.get(
+            "BENCH_BATCH",
+            "64" if mode == "train" else "1024" if mode == "serve" else "512",
+        )
     )
     runs = int(os.environ.get("BENCH_RUNS", "20"))
     if mode == "train":
