@@ -28,6 +28,7 @@ O(K^2) mask matrix) so inference never serializes on the host.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -602,40 +603,32 @@ def device_detect_topk(
     Outputs match device_decode_nms value-for-value (test-gated); candidate
     choice can differ from it only on exact fp32 ties of the sigmoid
     (saturated logits), where the reference's own qsort order is equally
-    unspecified."""
+    unspecified.
+
+    Row selection has two formulations (BCNN_TOPK_GATHER env knob):
+    `onehot` (default) contracts a per-head one-hot of the top-k indices
+    against the flat head tensor on the MXU and derives grid/anchor
+    metadata by integer arithmetic on the indices; `take` is the original
+    take_along_axis row gather + six metadata table gathers. The two are
+    value-identical (the one-hot matmul is x*1 + 0*rest with an fp32
+    accumulator, exact for fp32 and bf16 heads; test-gated). Measured on
+    v5e at batch 1024 (tools/serve_profile.py, round 5): the gather/decode
+    stage costs +8.0 ms with `take` — TPU gathers don't vectorize, the
+    same pathology as the augmentation warp — and the one-hot matmul
+    replaces it for the price of streaming one (N,k,M) bf16 operand."""
     n = heads[0].shape[0]
     e = 5 + head_params[0]["classes"]
     classes = head_params[0]["classes"]
 
-    # static per-candidate metadata, loc-major then anchor (matches the
-    # m = (loc*A + a) flattening of the decode-everything path)
-    cols, rows, gws, ghs, aws, ahs = [], [], [], [], [], []
-    flat_heads, offsets, sizes = [], [], []
+    flat_heads, offsets, sizes, meta = [], [], [], []
     off = 0
     for raw, prm in zip(heads, head_params):
         _, h, w, _ = raw.shape
-        num = prm["num"]
-        anchors, mask = prm["anchors"], prm["mask"]
-        loc = np.arange(h * w)
-        cols.append(np.repeat(loc % w, num))
-        rows.append(np.repeat(loc // w, num))
-        gws.append(np.full(h * w * num, w, np.float32))
-        ghs.append(np.full(h * w * num, h, np.float32))
-        aw = np.asarray([anchors[2 * m] for m in mask], np.float32)
-        ah = np.asarray([anchors[2 * m + 1] for m in mask], np.float32)
-        aws.append(np.tile(aw, h * w))
-        ahs.append(np.tile(ah, h * w))
-        flat_heads.append(raw.reshape(n, h * w * num, e))
+        flat_heads.append(raw.reshape(n, h * w * prm["num"], e))
         offsets.append(off)
-        sizes.append(h * w * num)
-        off += h * w * num
-
-    col = jnp.asarray(np.concatenate(cols), jnp.float32)
-    row = jnp.asarray(np.concatenate(rows), jnp.float32)
-    gw = jnp.asarray(np.concatenate(gws))
-    gh = jnp.asarray(np.concatenate(ghs))
-    aw = jnp.asarray(np.concatenate(aws))
-    ah = jnp.asarray(np.concatenate(ahs))
+        sizes.append(h * w * prm["num"])
+        meta.append((h, w, prm["num"], prm["anchors"], prm["mask"]))
+        off += h * w * prm["num"]
 
     # objectness logits over ALL candidates (the only full-M read). The
     # threshold test runs in SIGMOID space — bit-identical to the
@@ -648,21 +641,84 @@ def device_detect_topk(
     topv_l, topi = jax.lax.top_k(masked, k)  # (N,k)
     valid = topv_l > -jnp.inf  # NaN logits compare False, like obj>thresh
 
-    # gather the k selected rows from each head (in-range select)
-    sel = jnp.zeros((n, k, e), flat_heads[0].dtype)
-    for fh, o, m in zip(flat_heads, offsets, sizes):
-        local = topi - o
-        inr = (local >= 0) & (local < m)
-        g = jnp.take_along_axis(
-            fh, jnp.clip(local, 0, m - 1)[..., None], axis=1
-        )
-        sel = jnp.where(inr[..., None], g, sel)
+    if os.environ.get("BCNN_TOPK_GATHER", "onehot") == "onehot":
+        # MXU row-select + arithmetic metadata (see docstring). Candidate
+        # flattening is loc-major then anchor (m = loc*A + a), so the
+        # grid cell and anchor slot fall out of // and %.
+        sel = None
+        zero = jnp.zeros(topi.shape, jnp.float32)
+        csel, rsel = zero, zero
+        gwsel, ghsel, awsel, ahsel = zero, zero, zero, zero
+        for fh, o, m, (h, w, num, anchors, mask) in zip(
+            flat_heads, offsets, sizes, meta
+        ):
+            local = topi - o
+            inr = (local >= 0) & (local < m)
+            lc = jnp.clip(local, 0, m - 1)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+                == lc[..., None]
+            ) & inr[..., None]
+            part = jnp.einsum(
+                "nkm,nme->nke",
+                onehot.astype(fh.dtype),
+                fh,
+                preferred_element_type=jnp.float32,
+            )
+            sel = part if sel is None else sel + part
+            loc = lc // num
+            a = lc % num
+            inrf = inr.astype(jnp.float32)
+            csel = csel + inrf * (loc % w).astype(jnp.float32)
+            rsel = rsel + inrf * (loc // w).astype(jnp.float32)
+            gwsel = gwsel + inrf * float(w)
+            ghsel = ghsel + inrf * float(h)
+            awh, ahh = zero, zero
+            for ai, mi in enumerate(mask):
+                hit = (a == ai).astype(jnp.float32)
+                awh = awh + hit * float(anchors[2 * mi])
+                ahh = ahh + hit * float(anchors[2 * mi + 1])
+            awsel = awsel + inrf * awh
+            ahsel = ahsel + inrf * ahh
+        sel = sel.astype(flat_heads[0].dtype)
+    else:
+        # static per-candidate metadata tables + row/table gathers
+        cols, rows, gws, ghs, aws, ahs = [], [], [], [], [], []
+        for (h, w, num, anchors, mask), m in zip(meta, sizes):
+            loc = np.arange(h * w)
+            cols.append(np.repeat(loc % w, num))
+            rows.append(np.repeat(loc // w, num))
+            gws.append(np.full(m, w, np.float32))
+            ghs.append(np.full(m, h, np.float32))
+            aw = np.asarray([anchors[2 * mi] for mi in mask], np.float32)
+            ah = np.asarray(
+                [anchors[2 * mi + 1] for mi in mask], np.float32
+            )
+            aws.append(np.tile(aw, h * w))
+            ahs.append(np.tile(ah, h * w))
+        col = jnp.asarray(np.concatenate(cols), jnp.float32)
+        row = jnp.asarray(np.concatenate(rows), jnp.float32)
+        gw = jnp.asarray(np.concatenate(gws))
+        gh = jnp.asarray(np.concatenate(ghs))
+        aw = jnp.asarray(np.concatenate(aws))
+        ah = jnp.asarray(np.concatenate(ahs))
 
-    csel, rsel = col[topi], row[topi]
-    bx = (csel + jax.nn.sigmoid(sel[..., 0])) / gw[topi]
-    by = (rsel + jax.nn.sigmoid(sel[..., 1])) / gh[topi]
-    bw = jnp.exp(sel[..., 2]) * aw[topi] / net_w
-    bh = jnp.exp(sel[..., 3]) * ah[topi] / net_h
+        sel = jnp.zeros((n, k, e), flat_heads[0].dtype)
+        for fh, o, m in zip(flat_heads, offsets, sizes):
+            local = topi - o
+            inr = (local >= 0) & (local < m)
+            g = jnp.take_along_axis(
+                fh, jnp.clip(local, 0, m - 1)[..., None], axis=1
+            )
+            sel = jnp.where(inr[..., None], g, sel)
+        csel, rsel = col[topi], row[topi]
+        gwsel, ghsel = gw[topi], gh[topi]
+        awsel, ahsel = aw[topi], ah[topi]
+
+    bx = (csel + jax.nn.sigmoid(sel[..., 0])) / gwsel
+    by = (rsel + jax.nn.sigmoid(sel[..., 1])) / ghsel
+    bw = jnp.exp(sel[..., 2]) * awsel / net_w
+    bh = jnp.exp(sel[..., 3]) * ahsel / net_h
     bsel = jnp.stack([bx, by, bw, bh], axis=-1)
     obj = jax.nn.sigmoid(sel[..., 4]) * valid
     psel = obj[..., None] * jax.nn.sigmoid(sel[..., 5 : 5 + classes])

@@ -107,6 +107,42 @@ def test_detect_more_dets_than_candidates():
         assert (np.asarray(o)[0, 60:] == 0).all()
 
 
+def test_topk_gather_formulations_bit_identical(monkeypatch):
+    """The MXU one-hot row-select (BCNN_TOPK_GATHER=onehot, default) must
+    be BIT-identical to the take_along_axis gather (=take) — the one-hot
+    contraction is x*1 + 0*rest with an fp32 accumulator and the
+    grid/anchor metadata is the same integer arithmetic the static tables
+    encode. Checked for fp32 and bf16 heads (the serve pipeline's act16
+    heads are bf16). Measured motivation: the gather/decode stage cost
+    +8.0 ms of the batch-1024 int8 serve step with `take`
+    (tools/serve_profile.py, BENCHMARKS.md round 5)."""
+    import jax.numpy as jnp
+
+    from bcnn_tpu.ops.yolo import device_detect_topk
+
+    rng = np.random.RandomState(7)
+    anchors = [10, 14, 23, 27, 37, 58, 81, 82, 135, 169, 344, 319]
+    prms = [
+        dict(num=3, classes=6, anchors=anchors, mask=[3, 4, 5]),
+        dict(num=3, classes=6, anchors=anchors, mask=[0, 1, 2]),
+    ]
+    for dtype in (jnp.float32, jnp.bfloat16):
+        raws = [
+            jnp.asarray(rng.uniform(-4, 4, (3, 4, 4, 33)), dtype),
+            jnp.asarray(rng.uniform(-4, 4, (3, 8, 8, 33)), dtype),
+        ]
+        outs = {}
+        for mode in ("take", "onehot"):
+            monkeypatch.setenv("BCNN_TOPK_GATHER", mode)
+            outs[mode] = device_detect_topk(
+                raws, prms, 128, 128, max_dets=16, thresh=0.3
+            )
+        for a, b in zip(outs["take"], outs["onehot"]):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32)
+            )
+
+
 def test_topk_first_edge_logits():
     """+inf objectness logits are KEPT (sigmoid=1.0, like the
     decode-everything path), and a logit whose sigmoid rounds to exactly
