@@ -159,7 +159,7 @@ def _interp_matrix(coords, n):
     return W, valid
 
 
-def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill):
+def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill, k_local=None):
     """Per-row two-tap fractional shift along axis 1, gather-free.
 
     out[r, j, c] = bilinear sample of row r at absolute x = out_x0+j+d[r],
@@ -170,7 +170,14 @@ def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill):
     the two adjacent integer-shift operators, so this equals the gather
     formulation for |d| <= kmax - 1 while lowering to dense fma sweeps
     over statically-sliced views (TPU gathers don't vectorize; see
-    BENCHMARKS.md rotation pathology)."""
+    BENCHMARKS.md rotation pathology).
+
+    With BCNN_SHEAR_PALLAS=1 and a static `k_local` (the caller's bound
+    on the per-8-row tap spread, from the cfg's rotation_range) the
+    sweep runs as a VMEM-resident Pallas kernel (ops/shear_pallas.py):
+    identical taps and weights in identical order, but each sublane
+    group sweeps only its own k_local columns and HBM sees one
+    read + one write instead of 2*kmax+1 streamed accumulator passes."""
     r, win, c = img.shape
     lo = out_x0 - kmax  # first absolute column any term reads
     hi = out_x0 + out_w - 1 + kmax
@@ -182,6 +189,19 @@ def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill):
     if pad_r < 0:
         img = jax.lax.slice_in_dim(img, 0, img.shape[1] + pad_r, axis=1)
         pad_r = 0
+    if k_local is not None and os.environ.get("BCNN_SHEAR_PALLAS") == "1":
+        from ..ops.shear_pallas import row_shift_pallas
+
+        # the group sweep may read up to k_local columns past any row's
+        # own (zero-weight beyond its two taps) — extend the fill pad
+        imgp = jnp.pad(
+            img, ((0, 0), (pad_l, pad_r + k_local), (0, 0)),
+            constant_values=fill,
+        )
+        return row_shift_pallas(
+            imgp.astype(jnp.float32), d, kmax, out_w, k_local,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(img.dtype)
     imgp = jnp.pad(
         img, ((0, 0), (pad_l, pad_r), (0, 0)), constant_values=fill
     )
@@ -201,7 +221,8 @@ def _row_shift(img, d, kmax, out_x0, out_w, in_x0, fill):
     )
 
 
-def _rotate_3shear(mid, theta, h, w, kx, ky, kx2, myc, mxc, fill):
+def _rotate_3shear(mid, theta, h, w, kx, ky, kx2, myc, mxc, fill,
+                   k_locals=(None, None, None)):
     """Pure rotation about the (h, w) frame's center, gather-free:
     Paeth's three-shear decomposition R(theta) = Shx(-tan(theta/2)) ·
     Shy(sin(theta)) · Shx(-tan(theta/2)), each shear an axis-separable
@@ -220,17 +241,19 @@ def _rotate_3shear(mid, theta, h, w, kx, ky, kx2, myc, mxc, fill):
     d1e = alpha * (
         jnp.arange(h + 2 * myc, dtype=jnp.float32) - myc - cy
     )
-    r3 = _row_shift(mid, d1e, kx2, -kx, w + 2 * kx, -mxc, fill)
+    r3 = _row_shift(mid, d1e, kx2, -kx, w + 2 * kx, -mxc, fill,
+                    k_local=k_locals[0])
     # pass 2: y-shear over the extended columns (transpose -> rows);
     # rows beyond the content extent read fill via _row_shift's padding
     d2 = beta * (jnp.arange(w + 2 * kx, dtype=jnp.float32) - kx - cx)
     r2 = jnp.transpose(
-        _row_shift(jnp.transpose(r3, (1, 0, 2)), d2, ky, 0, h, -myc, fill),
+        _row_shift(jnp.transpose(r3, (1, 0, 2)), d2, ky, 0, h, -myc, fill,
+                   k_local=k_locals[1]),
         (1, 0, 2),
     )
     # pass 3: x-shear back to [0, w)
     d1 = alpha * (jnp.arange(h, dtype=jnp.float32) - cy)
-    return _row_shift(r2, d1, kx, 0, w, -kx, fill)
+    return _row_shift(r2, d1, kx, 0, w, -kx, fill, k_local=k_locals[2])
 
 
 def _shear_bounds(rot_deg, h, w, s_max=1.0, txm=0.0, tym=0.0):
@@ -341,8 +364,15 @@ def _augment_one(img, params, fill=FILL, geo="full", rot_deg=0.0,
             mid = jnp.pad(
                 flipped, ((myc, myc), (mxc, mxc), (0, 0)), mode="edge"
             )
+        # static per-8-row tap-spread bounds for the Pallas group sweep
+        # (shear shift is linear in the row index with |slope| bounded by
+        # the cfg's rotation_range; +3 covers floor straddles, see
+        # ops/shear_pallas.py)
+        tmax = math.radians(rot_deg) / 2.0
+        kl_a = int(math.ceil(7.0 * math.tan(tmax / 2.0))) + 3
+        kl_b = int(math.ceil(7.0 * math.sin(tmax))) + 3
         out = _rotate_3shear(mid, params["theta"], h, w, kx, ky, kx2,
-                             myc, mxc, fill)
+                             myc, mxc, fill, k_locals=(kl_a, kl_b, kl_a))
         # re-apply the gather path's exact fill region from the composed
         # inverse map (flip maps the frame to itself, so it drops out of
         # the validity test)
