@@ -52,11 +52,21 @@ _G = 8  # sublane group height (fp32 tile)
 def _kernel(d_ref, img_ref, out_ref, *, kmax, out_w, k_local, n_groups):
     """d_ref: (R8, 1) fp32; img_ref: (1, R8, WP); out_ref: (1, R8, OW)."""
 
+    win_p = img_ref.shape[2]
+
     def group(gi, carry):
         r0 = pl.multiple_of(gi * _G, _G)
         dg = d_ref[pl.ds(r0, _G), :]  # (8,1) per-row shifts
         base = jnp.floor(dg) + float(kmax)  # first tap column per row
         kg = jnp.min(base).astype(jnp.int32)  # group anchor (dynamic)
+        # Mosaic cannot prove alignment for a dynamic LANE start, so the
+        # dynamic part of the tap offset is ONE lane rotate by the group
+        # anchor (dynamic_rotate takes traced shifts) and the k_local tap
+        # offsets become STATIC unaligned slices (both probed on-chip).
+        # The roll's wrapped tail never reaches the sliced range:
+        # kg + k_local + out_w - 2 < win_p by the caller's pad invariant.
+        rows = img_ref[0, pl.ds(r0, _G), :]  # (8, win_p)
+        rolled = pltpu.roll(rows, shift=win_p - kg, axis=1)
         acc = jnp.zeros((_G, out_w), jnp.float32)
         for t in range(k_local):  # static unroll, ascending k
             # weight exactly as the XLA sweep computes it: d - (k - kmax)
@@ -64,8 +74,7 @@ def _kernel(d_ref, img_ref, out_ref, *, kmax, out_w, k_local, n_groups):
             # differently and costs one ulp of weight)
             shift = (kg + t - kmax).astype(jnp.float32)
             w = jnp.maximum(0.0, 1.0 - jnp.abs(dg - shift))
-            seg = img_ref[0, pl.ds(r0, _G), pl.ds(kg + t, out_w)]
-            acc = acc + w * seg
+            acc = acc + w * rolled[:, t : t + out_w]
         out_ref[0, pl.ds(r0, _G), :] = acc
         return carry
 
@@ -94,7 +103,16 @@ def row_shift_pallas(imgp, d, kmax, out_w, k_local, interpret=False):
         imgp = jnp.pad(imgp, ((0, rpad), (0, 0), (0, 0)))
     r8 = r + rpad
 
-    img_cf = jnp.transpose(imgp, (2, 0, 1))  # (c, r8, win_p): x on lanes
+    # tpu.dynamic_rotate requires a 128-aligned lane width (measured:
+    # 8x464 rejected "unsupported unaligned shape", 8x512 fine) — pad the
+    # window to a lane multiple; the wrapped/padded tail never reaches the
+    # sliced range (pad invariant above), so the pad value is irrelevant
+    wpad = (-win_p) % 128
+    if wpad:
+        imgp = jnp.pad(imgp, ((0, 0), (0, wpad), (0, 0)))
+    win_p += wpad
+
+    img_cf = jnp.transpose(imgp, (2, 0, 1))  # (c, r8, win_p'): x on lanes
     d2 = d[:, None].astype(jnp.float32)
 
     out = pl.pallas_call(
