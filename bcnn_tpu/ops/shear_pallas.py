@@ -33,8 +33,22 @@ whether w*seg+acc contracts to an fma is the backend's choice and
 differs between the two lowerings); test-gated at 1e-4 absolute, far
 under the shear chain's own 2/255 documented tolerance vs the gather.
 
-Dispatch: `data/device_augment._row_shift` routes here when
-BCNN_SHEAR_PALLAS=1 (A/B knob; BENCHMARKS.md records the measurement).
+Dispatch: `data/device_augment._row_shift` routes here by default on
+TPU (BCNN_SHEAR_PALLAS=0 reverts to the XLA sweep for re-measurement,
+=1 forces the kernel in interpret mode off-TPU for the parity tests).
+
+MEASURED (same-session A/B, batch-256 images+boxes program at 416,
+round 5, values bit-identical on chip): rotation_range=10:
+284.0 -> 122.0 ms/batch (2.3x); range=30: 702.9 -> 126.6 ms (5.6x) —
+~21x over the original bilinear gather at both ranges, and the kernel
+time is nearly range-independent because the group sweep count k_local
+grows only with sin(theta_max), not with the global span kmax. Two
+Mosaic walls shaped the final form (both probed on-chip):
+a dynamic LANE-start slice is rejected outright ("cannot statically
+prove index is a multiple of 128"), so the dynamic anchor became ONE
+tpu.dynamic_rotate per group + static unaligned slices; and
+dynamic_rotate itself requires a 128-aligned lane width (8x464
+rejected, 8x512 fine), so the window pads to a lane multiple.
 """
 
 from __future__ import annotations
