@@ -172,6 +172,10 @@ def run(args):
     rec, erec = make_records(args)
     aug = {"random_fliph": 1, "min_contrast": 0.8, "max_contrast": 1.2,
            "min_brightness": -30, "max_brightness": 30}
+    if args.rotation:
+        # box-aware device rotation: Paeth three-shear, Pallas row-shift
+        # kernel on TPU (BENCHMARKS.md round-5 shear section)
+        aug["rotation_range"] = float(args.rotation)
     net = build_net(args, "train")
     net.device_augment = aug
     sess = Session(net, seed=0).compile_net()
@@ -523,6 +527,9 @@ def main():
     ap.add_argument("--mem-every", type=int, default=50)
     ap.add_argument("--dir", default="/tmp/bcnn_soak")
     ap.add_argument("--outdir", default="/tmp/bcnn_tpu_det_data")
+    ap.add_argument("--rotation", type=float, default=0.0,
+                    help="rotation_range (deg, full width) for the device "
+                         "augment; 0 = off (the historical soak config)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--report", action="store_true",
