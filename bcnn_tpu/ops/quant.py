@@ -168,27 +168,36 @@ def calibrate(
     if method not in ("absmax", "percentile", "kl"):
         raise ValueError(f"unknown calibration method: {method!r}")
 
+    # One jitted program returning only the watched tensors. The previous
+    # eager op-by-op execute dispatched every primitive separately, which
+    # on the axon remote-compile tunnel means one server-side compile per
+    # op — measured minutes (sometimes wedged >10 min) for one yolov3-tiny
+    # calibration batch, vs one ~30 s net-sized compile here. params/state
+    # are arguments, not closures, so the weights stay runtime operands
+    # instead of being baked into the HLO as constants.
+    @jax.jit
+    def _watched(params, state, x):
+        ex = execute(net, params, state, {"input": x}, Mode.PREDICT, None)
+        return {i: ex.values[i] for i in watch}
+
     def run(x):
-        return execute(
-            net, params, state,
-            {"input": jnp.asarray(x, jnp.float32)}, Mode.PREDICT, None,
-        )
+        return _watched(params, state, jnp.asarray(x, jnp.float32))
 
     if method == "kl":
         # pass 1: global |x| range per watched tensor
         amax = {i: 0.0 for i in watch}
         for x in batches:
-            ex = run(x)
+            vals = run(x)
             for i in watch:
-                amax[i] = max(amax[i], float(jnp.max(jnp.abs(ex.values[i]))))
+                amax[i] = max(amax[i], float(jnp.max(jnp.abs(vals[i]))))
         # pass 2: histogram accumulation
         hists = {i: np.zeros(kl_bins, np.int64) for i in watch}
         for x in batches:
-            ex = run(x)
+            vals = run(x)
             for i in watch:
                 if amax[i] <= 0:
                     continue
-                v = np.asarray(jnp.abs(ex.values[i]), np.float32).ravel()
+                v = np.asarray(jnp.abs(vals[i]), np.float32).ravel()
                 h, _ = np.histogram(v, bins=kl_bins, range=(0.0, amax[i]))
                 hists[i] += h
         scales = {}
@@ -203,9 +212,9 @@ def calibrate(
 
     amax = {i: 0.0 for i in watch}
     for x in batches:
-        ex = run(x)
+        vals = run(x)
         for i in watch:
-            v = jnp.abs(ex.values[i])
+            v = jnp.abs(vals[i])
             if method == "absmax":
                 m = float(jnp.max(v))
             else:

@@ -112,8 +112,13 @@ def _build_predict(mode, batch, size):
                 jnp.sum(ex.values[i], dtype=jnp.float32) for i in out_idx
             )
 
-    x = jnp.asarray(
-        np.random.RandomState(0).rand(batch, 3, size, size), jnp.float32
+    # Generate the input ON DEVICE. Staging is outside the timed region
+    # either way, but host-staging the batch-1024 fp32 input (2.1 GB)
+    # through the axon tunnel costs minutes of setup wall-clock; uniform
+    # [0,1) matches the previous host RandomState input and the program
+    # is shape-static, so the measurement itself is unchanged.
+    x = jax.random.uniform(
+        jax.random.PRNGKey(0), (batch, 3, size, size), jnp.float32
     )
     return lambda: forward(params, state, x)
 
